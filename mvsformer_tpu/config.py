@@ -1,0 +1,203 @@
+"""Typed experiment configuration.
+
+The reference passes raw dicts read with `.get(key, default)` everywhere
+(mvsformer_model.py:30-49); the effective schema is implicit. Here the full
+knob surface is a set of dataclasses, JSON-loadable (same section layout as
+configs/config_mvsformer.json) and CLI-overridable via dotted paths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass
+class ViTConfig:
+    twin: bool = True
+    rescale: float = 0.5
+    do_vit: bool = True
+    patch_size: int = 16
+    qk_scale: str | float = "default"
+    vit_arch: str = "alt_gvt_small"
+    vit_path: str = ""
+    vit_ch: Any = field(default_factory=lambda: [64, 128, 256, 512])
+    out_ch: int = 64
+    att_fusion: bool = True
+    nhead: int = 6
+    multi_scale_decoder: bool = False
+    cross_att: bool = False
+
+
+@dataclass
+class ModelConfig:
+    model_type: str = "twin"  # "twin" (MVSFormer) | "dino" (MVSFormer-P)
+    fix: bool = False  # freeze backbone
+    depth_type: str = "ce"  # ce | re | was | mixup_ce
+    mask_out_range: bool = False
+    focal: bool = False
+    gamma: float = 2.0
+    fusion_type: str = "cnn"  # cnn | epipole | epipoleV2
+    inverse_depth: bool = True
+    attn_temp: float = 2.0
+    base_ch: int = 8  # correlation groups G
+    model_th: int = 8  # ndepth threshold selecting CostRegNet3D vs CostRegNet
+    ndepths: Any = field(default_factory=lambda: [32, 16, 8, 4])
+    feat_chs: Any = field(default_factory=lambda: [8, 16, 32, 64])
+    depth_interals_ratio: Any = field(default_factory=lambda: [4.0, 2.67, 1.5, 1.0])
+    multi_scale: bool = False
+    norm_type: str = "BN"  # BN | GN — GN avoids cross-replica stat sync on TPU
+    vit_args: ViTConfig = field(default_factory=ViTConfig)
+
+
+@dataclass
+class MultiScaleConfig:
+    scales: Any = field(default_factory=lambda: [
+        [512, 640], [512, 704], [512, 768],
+        [576, 704], [576, 768], [576, 832],
+        [640, 832], [640, 896], [640, 960],
+        [704, 896], [704, 960], [704, 1024],
+        [768, 960], [768, 1024], [768, 1088],
+        [832, 1024], [832, 1088], [832, 1152],
+        [896, 1152], [896, 1216], [896, 1280],
+        [960, 1216], [960, 1280], [960, 1344],
+        [1024, 1280],
+    ])
+    resize_range: Any = field(default_factory=lambda: [1.0, 1.2])
+    scale_batch_map: Any = field(default_factory=lambda: {
+        "512": 4, "576": 4, "640": 4, "704": 2, "768": 2, "832": 2,
+        "896": 1, "960": 1, "1024": 1,
+    })
+
+
+@dataclass
+class AugConfig:
+    brightness: float = 0.2
+    contrast: float = 0.1
+    saturation: float = 0.1
+    hue: float = 0.05
+    min_gamma: float = 0.9
+    max_gamma: float = 1.1
+
+
+@dataclass
+class DataConfig:
+    type: str = "DTULoader"
+    data_set_type: str = "multi_scale"
+    datapath: str = ""
+    train_data_list: str = ""
+    val_data_list: str = ""
+    mode: str = "train"
+    nviews: int = 5
+    num_depths: int = 192
+    multi_scale: bool = True
+    multi_scale_args: MultiScaleConfig = field(default_factory=MultiScaleConfig)
+    interval_scale: float = 1.06
+    resize_scale: float = 0.5
+    height: int = 512
+    width: int = 640
+    shuffle: bool = True
+    seq_size: int = 7
+    batch_size: int = 8
+    crop: bool = True
+    consist_crop: bool = False
+    num_workers: int = 4
+    augment: bool = True
+    aug_args: AugConfig = field(default_factory=AugConfig)
+
+
+@dataclass
+class OptimizerConfig:
+    vit_lr: float = 3.0e-5
+    lr: float = 1.0e-3
+    weight_decay: float = 0.01
+    layer_decay: float = 0.75
+    min_lr: float = 0.01  # final LR as a fraction of peak
+    warmup_steps: int = 500
+    grad_norm: float | None = None
+
+
+@dataclass
+class TrainerConfig:
+    epochs: int = 15
+    save_dir: str = "saved/"
+    save_period: int = 1
+    logging_every: int = 100
+    early_stop: int = 10
+    depth_scale: float = 1.0
+    eval_freq: int = 1
+    monitor: str = "min mean_error"
+
+
+@dataclass
+class Config:
+    name: str = "MVSFormer-TPU"
+    n_devices: int = 1
+    precision: str = "bf16"  # bf16 | fp32 (fp32 islands are always kept)
+    arch: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)
+
+
+def _build(cls, data):
+    if not dataclasses.is_dataclass(cls) or not isinstance(data, dict):
+        return data
+    kwargs = {}
+    names = {f.name: f for f in dataclasses.fields(cls)}
+    for k, v in data.items():
+        if k not in names:
+            continue
+        f = names[k]
+        sub = f.type if dataclasses.is_dataclass(f.type) else None
+        if sub is None and f.default_factory is not dataclasses.MISSING:  # type: ignore
+            probe = f.default_factory()  # type: ignore
+            if dataclasses.is_dataclass(probe):
+                sub = type(probe)
+        kwargs[k] = _build(sub, v) if sub else v
+    return cls(**kwargs)
+
+
+def load_config(path: str | None = None, overrides: dict | None = None) -> Config:
+    """Load a JSON config and apply dotted-path overrides.
+
+    Accepts both this framework's layout and the reference layout
+    (`arch.args`, `data_loader[0].args`, `optimizer.args`, `trainer`).
+    """
+    raw: dict = {}
+    if path:
+        with open(path) as f:
+            raw = json.load(f)
+
+    # Normalize reference-style configs.
+    if "arch" in raw and isinstance(raw["arch"], dict) and "args" in raw["arch"]:
+        raw["arch"] = dict(raw["arch"]["args"])
+    if "data_loader" in raw:
+        dl = raw.pop("data_loader")
+        entry = dl[0] if isinstance(dl, list) else dl
+        data = dict(entry.get("args", {}))
+        data["type"] = entry.get("type", "DTULoader")
+        raw["data"] = data
+    if "optimizer" in raw and "args" in raw.get("optimizer", {}):
+        raw["optimizer"] = dict(raw["optimizer"]["args"])
+    if "arch" in raw and isinstance(raw["arch"], dict):
+        va = raw["arch"].get("vit_args")
+        if va and va.get("twin") is False:
+            raw["arch"].setdefault("model_type", "dino")
+
+    cfg = _build(Config, raw)
+
+    for dotted, value in (overrides or {}).items():
+        obj = cfg
+        parts = dotted.split(".")
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        setattr(obj, parts[-1], value)
+    return cfg
+
+
+def save_config(cfg: Config, path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)

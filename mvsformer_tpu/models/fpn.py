@@ -1,0 +1,120 @@
+"""FPN feature encoder/decoders.
+
+Functional spec: /root/reference/models/module.py:208-302 (FPNEncoder 4-level
+conv pyramid; FPNDecoder top-down add with align_corners=True bilinear
+upsampling; FPNDecoderV2 concat-with-ViT multi-scale variant). NHWC layout.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mvsformer_tpu.models.blocks import ConvNormAct, Deconv2dNormAct, Norm, swish
+from mvsformer_tpu.ops.resize import resize_bilinear
+
+Dtype = Any
+
+
+class FPNEncoder(nn.Module):
+    feat_chs: Sequence[int] = (8, 16, 32, 64)
+    norm: str = "BN"
+    dtype: Dtype = jnp.bfloat16
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        ch = self.feat_chs
+        kw = dict(norm=self.norm, dtype=self.dtype, axis_name=self.axis_name)
+        conv00 = ConvNormAct(ch[0], kernel=7, **kw, name="conv00")(x, training)
+        conv01 = ConvNormAct(ch[0], kernel=5, **kw, name="conv01")(conv00, training)
+        down0 = ConvNormAct(ch[1], kernel=5, stride=2, **kw, name="downsample1")(conv01, training)
+        conv10 = ConvNormAct(ch[1], **kw, name="conv10")(down0, training)
+        conv11 = ConvNormAct(ch[1], **kw, name="conv11")(conv10, training)
+        down1 = ConvNormAct(ch[2], kernel=5, stride=2, **kw, name="downsample2")(conv11, training)
+        conv20 = ConvNormAct(ch[2], **kw, name="conv20")(down1, training)
+        conv21 = ConvNormAct(ch[2], **kw, name="conv21")(conv20, training)
+        down2 = ConvNormAct(ch[3], kernel=3, stride=2, **kw, name="downsample3")(conv21, training)
+        conv30 = ConvNormAct(ch[3], **kw, name="conv30")(down2, training)
+        conv31 = ConvNormAct(ch[3], **kw, name="conv31")(conv30, training)
+        return conv01, conv11, conv21, conv31
+
+
+class _OutBlock(nn.Module):
+    features: int
+    kernel: int = 3
+    norm: str = "BN"
+    dtype: Dtype = jnp.bfloat16
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = nn.Conv(self.features, (self.kernel, self.kernel), padding="SAME", dtype=self.dtype)(x)
+        x = Norm(self.norm, dtype=self.dtype, axis_name=self.axis_name)(x, training)
+        return swish(x)
+
+
+class FPNDecoder(nn.Module):
+    """Top-down add decoder -> (stage1..stage4) features at 1/8..1/1 res."""
+
+    feat_chs: Sequence[int] = (8, 16, 32, 64)
+    norm: str = "BN"
+    dtype: Dtype = jnp.bfloat16
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, conv01, conv11, conv21, conv31, training: bool = False):
+        ch = self.feat_chs
+        final_ch = ch[-1]
+        kw = dict(norm=self.norm, dtype=self.dtype, axis_name=self.axis_name)
+
+        intra = conv31
+        out0 = _OutBlock(ch[3], kernel=1, **kw, name="out0")(intra, training)
+
+        def up2(x):
+            return resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2),
+                                   spatial_axes=(1, 2), align_corners=True)
+
+        intra = up2(intra) + nn.Conv(final_ch, (1, 1), dtype=self.dtype, name="inner1")(conv21)
+        out1 = _OutBlock(ch[2], **kw, name="out1")(intra, training)
+
+        intra = up2(intra) + nn.Conv(final_ch, (1, 1), dtype=self.dtype, name="inner2")(conv11)
+        out2 = _OutBlock(ch[1], **kw, name="out2")(intra, training)
+
+        intra = up2(intra) + nn.Conv(final_ch, (1, 1), dtype=self.dtype, name="inner3")(conv01)
+        out3 = _OutBlock(ch[0], **kw, name="out3")(intra, training)
+
+        return out0, out1, out2, out3
+
+
+class FPNDecoderV2(nn.Module):
+    """Multi-scale variant fusing ViT pyramid maps by concat (module.py:273-302)."""
+
+    feat_chs: Sequence[int] = (8, 16, 32, 64)
+    norm: str = "BN"
+    dtype: Dtype = jnp.bfloat16
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, conv01, conv11, conv21, conv31, vit1, vit2, vit3,
+                 training: bool = False):
+        ch = self.feat_chs
+        kw = dict(norm=self.norm, dtype=self.dtype, axis_name=self.axis_name)
+
+        out1 = _OutBlock(ch[3], **kw, name="out1")(
+            jnp.concatenate([conv31, vit1], axis=-1), training)
+
+        up1 = Deconv2dNormAct(ch[2], **kw, act=nn.relu, name="upsample1")(out1, training)
+        out2 = _OutBlock(ch[2], **kw, name="out2")(
+            jnp.concatenate([up1 + conv21, vit2], axis=-1), training)
+
+        up2 = Deconv2dNormAct(ch[1], **kw, act=nn.relu, name="upsample2")(out2, training)
+        out3 = _OutBlock(ch[1], **kw, name="out3")(
+            jnp.concatenate([up2 + conv11, vit3], axis=-1), training)
+
+        up3 = Deconv2dNormAct(ch[0], **kw, act=nn.relu, name="upsample3")(out3, training)
+        out4 = _OutBlock(ch[0], **kw, name="out4")(up3 + conv01, training)
+
+        return out1, out2, out3, out4

@@ -1,0 +1,164 @@
+"""Cascade MVS models: TwinMVSNet (MVSFormer) and DINOMVSNet (MVSFormer-P).
+
+Functional spec: /root/reference/models/mvsformer_model.py:163-449 — a
+feature pyramid from FPN encoder + ViT backbone fused by a decoder, then a
+4-stage coarse-to-fine cascade of StageNets with inverse-depth (or metric)
+hypothesis scheduling and stage-averaged confidence.
+
+TPU-first notes: views are batched through the backbone as B*V (one big MXU
+batch) for both train and eval — XLA rematerialization (jax.checkpoint on the
+backbone) replaces the reference's eval-time python view loop as the memory
+valve. Images are NHWC.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mvsformer_tpu.config import ModelConfig
+from mvsformer_tpu.models import twins as twins_lib
+from mvsformer_tpu.models.decoders import TwinDecoderStage4, TwinDecoderStage4V2
+from mvsformer_tpu.models.fpn import FPNDecoder, FPNDecoderV2, FPNEncoder
+from mvsformer_tpu.models.stagenet import StageNet
+from mvsformer_tpu.ops import hypotheses
+from mvsformer_tpu.ops.resize import resize_bicubic, resize_nearest
+
+Dtype = Any
+
+STAGE_SCALES = (8, 4, 2, 1)  # stage1..stage4 feature-map downscale factors
+
+
+class TwinMVSNet(nn.Module):
+    """MVSFormer main variant: Twins ALTGVT backbone + FPN cascade."""
+
+    cfg: ModelConfig
+    dtype: Dtype = jnp.bfloat16
+    axis_name: str | None = None
+    view_axis: str | None = None
+
+    def setup(self):
+        cfg = self.cfg
+        self.encoder = FPNEncoder(feat_chs=tuple(cfg.feat_chs), norm=cfg.norm_type,
+                                  dtype=self.dtype, axis_name=self.axis_name)
+        if cfg.multi_scale:
+            self.decoder = FPNDecoderV2(feat_chs=tuple(cfg.feat_chs), norm=cfg.norm_type,
+                                        dtype=self.dtype, axis_name=self.axis_name)
+            self.decoder_vit = TwinDecoderStage4V2(out_ch=cfg.vit_args.out_ch,
+                                                   norm=cfg.norm_type, dtype=self.dtype,
+                                                   axis_name=self.axis_name)
+        else:
+            self.decoder = FPNDecoder(feat_chs=tuple(cfg.feat_chs), norm=cfg.norm_type,
+                                      dtype=self.dtype, axis_name=self.axis_name)
+            self.decoder_vit = TwinDecoderStage4(out_ch=cfg.vit_args.out_ch,
+                                                 norm=cfg.norm_type, dtype=self.dtype,
+                                                 axis_name=self.axis_name)
+        arch = cfg.vit_args.vit_arch
+        builder = {
+            "alt_gvt_small": twins_lib.alt_gvt_small,
+            "alt_gvt_base": twins_lib.alt_gvt_base,
+            "alt_gvt_large": twins_lib.alt_gvt_large,
+        }[arch]
+        self.vit = builder(dtype=self.dtype)
+        self.fusions = [
+            StageNet(
+                ndepth=cfg.ndepths[i], stage_idx=i, base_ch=cfg.base_ch,
+                fusion_type=cfg.fusion_type, depth_type=cfg.depth_type,
+                model_th=cfg.model_th, attn_temp=cfg.attn_temp, norm=cfg.norm_type,
+                dtype=self.dtype, axis_name=self.axis_name, view_axis=self.view_axis,
+                name=f"stage{i + 1}",
+            )
+            for i in range(len(cfg.ndepths))
+        ]
+
+    def extract_features(self, imgs, training: bool):
+        """imgs [N, H, W, 3] -> per-stage feature maps (stage1..4 at 1/8..1/1)."""
+        cfg = self.cfg
+        conv01, conv11, conv21, conv31 = self.encoder(imgs, training)
+        vit_h = int(imgs.shape[1] * cfg.vit_args.rescale)
+        vit_w = int(imgs.shape[2] * cfg.vit_args.rescale)
+        vit_imgs = resize_bicubic(imgs.astype(jnp.float32), (vit_h, vit_w),
+                                  spatial_axes=(1, 2)).astype(self.dtype)
+        vit_feats = self.vit(vit_imgs, deterministic=not training or cfg.fix)
+        if cfg.fix:
+            vit_feats = [jax.lax.stop_gradient(v) for v in vit_feats]
+        if cfg.multi_scale:
+            vit1, vit2, vit3 = self.decoder_vit(*vit_feats, training=training)
+            feats = self.decoder(conv01, conv11, conv21, conv31, vit1, vit2, vit3,
+                                 training=training)
+        else:
+            vit_out = self.decoder_vit(*vit_feats, training=training)
+            conv31 = conv31 + vit_out
+            feats = self.decoder(conv01, conv11, conv21, conv31, training=training)
+        # decoder returns (stage1 @1/8, stage2 @1/4, stage3 @1/2, stage4 @1/1)
+        return feats
+
+    def __call__(self, imgs, proj_matrices, depth_values, training: bool = False,
+                 tmp=2.0):
+        """imgs [B, V, H, W, 3]; proj_matrices {stageK: [B, V, 2, 4, 4]};
+        depth_values [B, Dfull]; tmp: float or per-stage list."""
+        cfg = self.cfg
+        B, V, H, W, _ = imgs.shape
+        depth_interval = depth_values[:, 1] - depth_values[:, 0]
+
+        flat = imgs.reshape(B * V, H, W, 3).astype(self.dtype)
+        feats = self.extract_features(flat, training)
+        features = [f.reshape(B, V, f.shape[1], f.shape[2], f.shape[3]) for f in feats]
+
+        outputs = {}
+        prev = None
+        conf_sum = jnp.zeros((B, H, W), jnp.float32)
+        for stage_idx, ndepth in enumerate(cfg.ndepths):
+            feat = features[stage_idx]
+            sh, sw = feat.shape[2], feat.shape[3]
+            projs = proj_matrices[f"stage{stage_idx + 1}"]
+
+            if stage_idx == 0:
+                if cfg.inverse_depth:
+                    samples = hypotheses.init_inverse_range(depth_values, ndepth, sh, sw)
+                else:
+                    samples = hypotheses.init_range(depth_values, ndepth, sh, sw)
+            else:
+                prev_depth = jax.lax.stop_gradient(prev["depth"])
+                if cfg.inverse_depth:
+                    samples = hypotheses.schedule_inverse_range(
+                        prev_depth, prev["depth_values"], ndepth,
+                        cfg.depth_interals_ratio[stage_idx], sh, sw)
+                else:
+                    samples = hypotheses.schedule_range(
+                        prev_depth, ndepth,
+                        cfg.depth_interals_ratio[stage_idx] * depth_interval, sh, sw)
+
+            stage_tmp = tmp[stage_idx] if isinstance(tmp, (list, tuple)) else tmp
+            prev = self.fusions[stage_idx](
+                feat[:, 0], feat[:, 1:], projs[:, 0], projs[:, 1:], samples,
+                training=training, tmp=stage_tmp, want_similarity=not training,
+            )
+            outputs[f"stage{stage_idx + 1}"] = prev
+
+            if cfg.depth_type in ("ce", "mixup_ce"):
+                conf = prev["photometric_confidence"]
+                if conf.shape[1] != H or conf.shape[2] != W:
+                    conf = resize_nearest(conf, (H, W), spatial_axes=(1, 2))
+                conf_sum = conf_sum + conf
+
+        outputs["refined_depth"] = prev["depth"]
+        if cfg.depth_type in ("ce", "mixup_ce"):
+            outputs["photometric_confidence"] = conf_sum / len(cfg.ndepths)
+        else:
+            outputs["photometric_confidence"] = prev["photometric_confidence"]
+        return outputs
+
+
+def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None, view_axis=None):
+    """Model factory keyed on cfg.model_type."""
+    if cfg.model_type == "twin":
+        return TwinMVSNet(cfg, dtype=dtype, axis_name=axis_name, view_axis=view_axis)
+    if cfg.model_type == "dino":
+        from mvsformer_tpu.models.dino import DINOMVSNet
+
+        return DINOMVSNet(cfg, dtype=dtype, axis_name=axis_name, view_axis=view_axis)
+    raise ValueError(f"unknown model_type {cfg.model_type}")

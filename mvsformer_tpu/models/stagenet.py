@@ -1,0 +1,155 @@
+"""One cascade stage: plane-sweep cost volume + visibility fusion + 3D
+regularization + depth decode.
+
+Functional spec: /root/reference/models/mvsformer_model.py:26-160 (StageNet).
+
+TPU-first notes:
+- The per-source-view loop accumulates `volume_sum`/`vis_sum` running sums —
+  associative reductions. When `view_axis` is set (shard_map over the "view"
+  mesh axis), each device processes only its local source views and the sums
+  are completed with a single `lax.psum`, reproducing the serial result
+  exactly. This is the scaling headroom the reference lacks (SURVEY.md 5.7).
+- Correlation/softmax/decode are fp32 islands (reference forces fp32 via
+  autocast(enabled=False), mvsformer_model.py:65-68); the 3D U-Net runs in the
+  compute dtype (bf16 by default).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mvsformer_tpu.models.blocks import ConvBnReLU
+from mvsformer_tpu.models.costreg import CostRegNet, CostRegNet2D, CostRegNet3D
+from mvsformer_tpu.ops import correlation as corr_ops
+from mvsformer_tpu.ops import geometry, regression
+
+Dtype = Any
+
+
+class VisibilityNet(nn.Module):
+    """Entropy -> per-pixel visibility weight CNN (mvsformer_model.py:37)."""
+
+    norm: str = "BN"
+    dtype: Dtype = jnp.bfloat16
+    axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, entropy, training: bool = False):
+        kw = dict(norm=self.norm, dtype=self.dtype, axis_name=self.axis_name)
+        x = ConvBnReLU(16, **kw, name="conv0")(entropy, training)
+        x = ConvBnReLU(16, **kw, name="conv1")(x, training)
+        x = ConvBnReLU(8, **kw, name="conv2")(x, training)
+        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv3")(x)
+        return nn.sigmoid(x.astype(jnp.float32))
+
+
+class StageNet(nn.Module):
+    ndepth: int
+    stage_idx: int
+    base_ch: int = 8  # correlation groups G == cost-reg input channels
+    fusion_type: str = "cnn"  # cnn | epipole | epipoleV2
+    depth_type: str = "ce"
+    model_th: int = 8
+    attn_temp: float = 2.0
+    norm: str = "BN"
+    dtype: Dtype = jnp.bfloat16
+    axis_name: str | None = None  # batch axis (BN sync)
+    view_axis: str | None = None  # mesh axis the source views are sharded over
+
+    @nn.compact
+    def __call__(
+        self,
+        ref_feat,  # [B, H, W, C]
+        src_feats,  # [B, Vs, H, W, C] (local source views when view-sharded)
+        ref_proj,  # [B, 2, 4, 4]
+        src_projs,  # [B, Vs, 2, 4, 4]
+        depth_values,  # [B, D, H, W]
+        training: bool = False,
+        tmp: float = 2.0,
+        want_similarity: bool = False,
+    ):
+        B, H, W, C = ref_feat.shape
+        Vs = src_feats.shape[1]
+        G = self.base_ch
+
+        ref_proj_full = geometry.compose_projection(ref_proj.astype(jnp.float32))
+        ref32 = ref_feat.astype(jnp.float32)
+
+        volume_sum = jnp.zeros((B, depth_values.shape[1], H, W, G), jnp.float32)
+        vis_sum = jnp.zeros((B, depth_values.shape[1], H, W), jnp.float32) \
+            if self.fusion_type != "cnn" else jnp.zeros((B, 1, H, W), jnp.float32)
+        sim_sum = jnp.zeros((B, depth_values.shape[1], H, W), jnp.float32)
+
+        if self.fusion_type == "cnn":
+            vis_net = VisibilityNet(norm=self.norm, dtype=self.dtype,
+                                    axis_name=self.axis_name, name="vis")
+        elif self.fusion_type == "epipoleV2":
+            attn_temp = self.param("attn_temp", lambda k: jnp.float32(1.0))
+
+        dv32 = depth_values.astype(jnp.float32)
+        for v in range(Vs):
+            src_proj_full = geometry.compose_projection(src_projs[:, v].astype(jnp.float32))
+            warped, invalid = geometry.homo_warp(
+                src_feats[:, v].astype(jnp.float32), src_proj_full, ref_proj_full, dv32)
+            corr = corr_ops.groupwise_correlation(ref32, warped, G)  # [B,D,H,W,G]
+
+            if want_similarity:
+                sim_sum = sim_sum + corr_ops.cosine_similarity_volume(ref32, warped, G)
+
+            if self.fusion_type == "cnn":
+                ent = corr_ops.entropy_over_depth(corr)  # [B,H,W,1]
+                w = vis_net(ent.astype(self.dtype), training)  # [B,H,W,1] fp32
+                w = w[..., 0][:, None]  # [B,1,H,W] — broadcasts over D and G
+                volume_sum = volume_sum + corr * w[..., None]
+                vis_sum = vis_sum + w
+            elif self.fusion_type == "epipole":
+                w = corr_ops.epipole_weight(corr, self.attn_temp, C)  # [B,D,H,W]
+                volume_sum = volume_sum + corr * w[..., None]
+                vis_sum = vis_sum + w
+            elif self.fusion_type == "epipoleV2":
+                w = corr_ops.epipole_v2_weight(corr, attn_temp, invalid, G)
+                volume_sum = volume_sum + corr * w[..., None]
+                vis_sum = vis_sum + w
+            else:
+                raise NotImplementedError(self.fusion_type)
+
+        if self.view_axis is not None:
+            volume_sum = jax.lax.psum(volume_sum, self.view_axis)
+            vis_sum = jax.lax.psum(vis_sum, self.view_axis)
+            if want_similarity:
+                sim_sum = jax.lax.psum(sim_sum, self.view_axis)
+
+        volume_mean = volume_sum / (vis_sum[..., None] + 1e-6)
+
+        # 3D regularization in compute dtype.
+        if self.fusion_type == "epipole":
+            reg = CostRegNet2D(self.base_ch, norm=self.norm, dtype=self.dtype,
+                               axis_name=self.axis_name, name="cost_reg")
+        elif self.fusion_type == "epipoleV2" or self.ndepth <= self.model_th:
+            reg = CostRegNet3D(self.base_ch, norm=self.norm, dtype=self.dtype,
+                               axis_name=self.axis_name, name="cost_reg")
+        else:
+            reg = CostRegNet(self.base_ch, norm=self.norm, dtype=self.dtype,
+                             axis_name=self.axis_name, name="cost_reg")
+        logits = reg(volume_mean.astype(self.dtype), training)[..., 0]  # [B,D,H,W]
+        logits = logits.astype(jnp.float32)
+        prob = jax.nn.softmax(logits, axis=1)
+
+        depth, conf = regression.decode_depth(
+            logits, prob, dv32, self.depth_type, self.ndepth, training, tmp)
+
+        out = {
+            "depth": depth,
+            "prob_volume": prob,
+            "prob_volume_pre": logits,
+            "photometric_confidence": conf,
+            "depth_values": dv32,
+        }
+        if want_similarity:
+            sim_idx = jnp.argmax(sim_sum, axis=1)
+            out["sim_depth"] = jnp.take_along_axis(dv32, sim_idx[:, None], axis=1)[:, 0]
+        return out

@@ -1,0 +1,322 @@
+"""Training losses for cascade MVS depth estimation.
+
+Functional spec: /root/reference/models/losses.py — per-stage cross-entropy to
+the nearest depth bin with inverse-depth flip and out-of-range masking
+(losses.py:304-350), the two-bin mixup CE (losses.py:353-408), smooth-L1
+regression in interval units (losses.py:51-85), focal CE (losses.py:292-301),
+and the Sinkhorn/Wasserstein OT loss (losses.py:88-162).
+
+JAX-first: no boolean fancy-indexing — everything is a mask-weighted mean so
+shapes stay static under jit. All losses upcast to fp32 (the reference wraps
+these in fp32 autocast islands).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+STAGE_KEYS = ("stage1", "stage2", "stage3", "stage4")
+
+
+def _masked_mean(x: Array, mask: Array, eps: float = 1e-6) -> Array:
+    mask = mask.astype(x.dtype)
+    return (x * mask).sum() / (mask.sum() + eps)
+
+
+def smooth_l1(pred: Array, target: Array, beta: float = 1.0) -> Array:
+    diff = jnp.abs(pred - target)
+    return jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+
+
+def _range_and_bins(depth_values: Array, depth_gt: Array, inverse_depth: bool):
+    """Shared bin-index / in-range computation for the CE losses.
+
+    depth_values: [B, D, H, W]; depth_gt: [B, H, W].
+    Returns (gt_index [B,H,W] int32, in_range [B,H,W] float32, flipped values).
+    Spec: losses.py:315-332.
+    """
+    if inverse_depth:
+        depth_values = jnp.flip(depth_values, axis=1)
+    gt = depth_gt[:, None]  # [B,1,H,W]
+    intervals = jnp.abs(depth_values[:, 1:] - depth_values[:, :-1]) / 2.0
+    intervals = jnp.concatenate([intervals, intervals[:, -1:]], axis=1)
+    min_dv = depth_values[:, 0:1] - intervals[:, 0:1]
+    max_dv = depth_values[:, -1:] + intervals[:, -1:]
+    right_edges = depth_values + intervals
+    out_left = (gt < min_dv).astype(jnp.float32)
+    out_right = (gt > max_dv).astype(jnp.float32)
+    in_range = (1.0 - jnp.clip(out_left + out_right, 0.0, 1.0))[:, 0]
+    gt_index = (right_edges <= gt).astype(jnp.float32).sum(axis=1)
+    gt_index = jnp.clip(gt_index, 0, depth_values.shape[1] - 1).astype(jnp.int32)
+    return gt_index, in_range, depth_values
+
+
+def masked_cross_entropy(logits: Array, labels: Array, mask: Array) -> Array:
+    """CE over depth axis 1 of [B,D,H,W] logits, mask-weighted mean."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
+    nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    return _masked_mean(nll, mask)
+
+
+def focal_ce(logits: Array, labels: Array, mask: Array, gamma: float) -> Array:
+    """Focal variant (losses.py:292-301); mask-weighted mean over pixels."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
+    logp_t = jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    p_t = jnp.exp(logp_t)
+    loss = -((1.0 - p_t) ** gamma) * logp_t
+    return _masked_mean(loss, mask)
+
+
+def ce_loss_stages(
+    outputs: dict,
+    depth_gt_ms: dict,
+    mask_ms: dict,
+    dlossw=(1.0, 1.0, 1.0, 1.0),
+    focal: bool = False,
+    gamma: float = 0.0,
+    inverse_depth: bool = True,
+    stage_keys=STAGE_KEYS,
+) -> dict:
+    """Per-stage nearest-bin CE (losses.py:304-350)."""
+    loss_dict = {}
+    for i, key in enumerate(stage_keys):
+        stage = outputs[key]
+        depth_values = stage["depth_values"].astype(jnp.float32)
+        logits = stage["prob_volume_pre"].astype(jnp.float32)
+        mask = (mask_ms[key] > 0.5).astype(jnp.float32)
+        gt = depth_gt_ms[key].astype(jnp.float32)
+
+        if inverse_depth:
+            logits = jnp.flip(logits, axis=1)
+        gt_index, in_range, _ = _range_and_bins(depth_values, gt, inverse_depth)
+        final_mask = in_range * mask
+        if focal:
+            loss = focal_ce(logits, gt_index, final_mask, gamma)
+        else:
+            loss = masked_cross_entropy(logits, gt_index, final_mask)
+        loss_dict[key] = dlossw[i] * loss
+    return loss_dict
+
+
+def mixup_ce_loss_stages(
+    outputs: dict,
+    depth_gt_ms: dict,
+    mask_ms: dict,
+    dlossw=(1.0, 1.0, 1.0, 1.0),
+    inverse_depth: bool = True,
+    stage_keys=STAGE_KEYS,
+) -> dict:
+    """Two-bin mixup CE (losses.py:353-408)."""
+    loss_dict = {}
+    for i, key in enumerate(stage_keys):
+        stage = outputs[key]
+        depth_values = stage["depth_values"].astype(jnp.float32)
+        logits = stage["prob_volume_pre"].astype(jnp.float32)
+        mask = (mask_ms[key] > 0.5).astype(jnp.float32)
+        gt = depth_gt_ms[key].astype(jnp.float32)[:, None]  # [B,1,H,W]
+
+        if inverse_depth:
+            depth_values = jnp.flip(depth_values, axis=1)
+            logits = jnp.flip(logits, axis=1)
+
+        in_range = (
+            1.0
+            - jnp.clip(
+                (gt < depth_values[:, 0:1]).astype(jnp.float32)
+                + (gt > depth_values[:, -1:]).astype(jnp.float32),
+                0.0,
+                1.0,
+            )
+        )[:, 0]
+        final_mask = in_range * mask
+
+        D = depth_values.shape[1]
+        gt_index = (depth_values[:, 1:] <= gt).astype(jnp.float32).sum(axis=1)
+        gt_index = jnp.clip(gt_index, 0, D - 2).astype(jnp.int32)
+
+        gt_left = jnp.take_along_axis(depth_values[:, :-1], gt_index[:, None], axis=1)
+        intervals = jnp.abs(depth_values[:, 1:] - depth_values[:, :-1])
+        itv = jnp.take_along_axis(intervals, gt_index[:, None], axis=1)
+        w_left = jnp.clip(jnp.abs(gt - gt_left) / itv, 0.0, 1.0)[:, 0]
+        w_right = 1.0 - w_left
+
+        logp_l = jax.nn.log_softmax(logits[:, :-1], axis=1)
+        logp_r = jax.nn.log_softmax(logits[:, 1:], axis=1)
+        nll_l = -jnp.take_along_axis(logp_l, gt_index[:, None], axis=1)[:, 0]
+        nll_r = -jnp.take_along_axis(logp_r, gt_index[:, None], axis=1)[:, 0]
+        denom = final_mask.sum() + 1e-6
+        loss = ((nll_l * w_left * final_mask).sum() + (nll_r * w_right * final_mask).sum()) / denom
+        loss_dict[key] = dlossw[i] * loss
+    return loss_dict
+
+
+def reg_loss_stages(
+    outputs: dict,
+    depth_gt_ms: dict,
+    mask_ms: dict,
+    depth_interval: Array,
+    dlossw=(1.0, 1.0, 1.0, 1.0),
+    mask_out_range: bool = False,
+    inverse_depth: bool = True,
+    stage_keys=STAGE_KEYS,
+) -> dict:
+    """Per-stage smooth-L1 on depth scaled by the interval (losses.py:51-85)."""
+    loss_dict = {}
+    itv = depth_interval[:, None, None].astype(jnp.float32)
+    for i, key in enumerate(stage_keys):
+        stage = outputs[key]
+        est = stage["depth"].astype(jnp.float32) / itv
+        gt_raw = depth_gt_ms[key].astype(jnp.float32)
+        gt = gt_raw / itv
+        mask = mask_ms[key] > 0.5
+
+        if mask_out_range:
+            depth_values = stage["depth_values"].astype(jnp.float32)
+            if inverse_depth:
+                depth_values = jnp.flip(depth_values, axis=1)
+            intervals = jnp.abs(depth_values[:, 1:] - depth_values[:, :-1]) / 2.0
+            intervals = jnp.concatenate([intervals, intervals[:, -1:]], axis=1)
+            min_dv = depth_values[:, 0] - intervals[:, 0]
+            max_dv = depth_values[:, -1] + intervals[:, -1]
+            out = jnp.clip(
+                (gt_raw < min_dv).astype(jnp.float32) + (gt_raw > max_dv).astype(jnp.float32),
+                0.0,
+                1.0,
+            )
+            mask = mask & (out < 0.5)
+
+        loss = _masked_mean(smooth_l1(est, gt), mask)
+        loss_dict[key] = dlossw[i] * loss
+    return loss_dict
+
+
+def sinkhorn_loss(
+    depth_gt: Array,
+    hypo_depth: Array,
+    attn_weight: Array,
+    mask: Array,
+    iters: int = 10,
+    eps: float = 1.0,
+    continuous: bool = False,
+) -> Array:
+    """Sinkhorn OT distance between predicted and GT depth-bin distributions.
+
+    Spec: losses.py:88-134. depth_gt [B,H,W]; hypo_depth/attn_weight
+    [B,D,H,W]; mask [B,H,W] bool. Returns the scalar loss.
+    """
+    B, D, H, W = attn_weight.shape
+    pred = attn_weight.astype(jnp.float32).transpose(0, 2, 3, 1).reshape(B, H * W, D)
+    bins = jnp.arange(D, dtype=jnp.float32)
+
+    if not continuous:
+        cost = jnp.abs(bins[None, :] - bins[:, None])  # [D(pred), D(gt)]
+        gt_idx = jnp.argmin(
+            jnp.abs(hypo_depth - depth_gt[:, None]), axis=1
+        ).reshape(B, H * W)  # [B, HW]
+        gt_dist = jax.nn.one_hot(gt_idx, D, dtype=jnp.float32)  # [B, HW, D]
+        cost_map = jnp.broadcast_to(cost[None, None], (B, H * W, D, D))
+    else:
+        # Continuous variant: GT mass sits in a virtual (D+1)-th bin whose
+        # distance to each pred bin is the fractional bin offset of the GT
+        # depth in inverse-depth units (losses.py:104-116).
+        itv = 1.0 / hypo_depth[:, 2] - 1.0 / hypo_depth[:, 1]  # [B,H,W]
+        gt_bin = (1.0 / depth_gt - 1.0 / hypo_depth[:, 0]) / itv
+        gt_bin = jnp.where(mask, gt_bin, 10.0)
+        gt_cost = jnp.abs(gt_bin[:, None] - bins[:, None, None, None])  # [B,D,H,W]
+        gt_cost = gt_cost.transpose(0, 2, 3, 1).reshape(B, H * W, D)
+        base = jnp.abs(bins[None, :] - bins[:, None])  # [D, D]
+        cost_map = jnp.concatenate(
+            [
+                jnp.broadcast_to(base[None, None], (B, H * W, D, D)),
+                gt_cost[..., None],
+            ],
+            axis=-1,
+        )  # [B, HW, D, D+1]
+        gt_dist = jnp.zeros((B, H * W, D + 1), jnp.float32).at[:, :, -1].set(1.0)
+
+    log_mu = jnp.log(gt_dist + 1e-12)
+    log_nu = jnp.log(pred + 1e-12)
+
+    def body(_, uv):
+        u, v = uv
+        v = log_mu - jax.nn.logsumexp(cost_map / eps + u[..., :, None], axis=2)
+        u = log_nu - jax.nn.logsumexp(cost_map / eps + v[..., None, :], axis=3)
+        return u, v
+
+    u = jnp.zeros_like(log_nu)
+    v = jnp.zeros_like(log_mu)
+    u, v = jax.lax.fori_loop(0, iters, body, (u, v))
+
+    t_map = jnp.exp(cost_map / eps + u[..., :, None] + v[..., None, :])
+    per_pixel = (t_map * cost_map).sum(axis=(2, 3)).reshape(B, H, W)
+    return _masked_mean(per_pixel, mask, eps=1e-12)
+
+
+def wasserstein_loss_stages(
+    outputs: dict,
+    depth_gt_ms: dict,
+    mask_ms: dict,
+    dlossw=(1.0, 1.0, 1.0, 1.0),
+    ot_iter: int = 10,
+    ot_eps: float = 1.0,
+    ot_continuous: bool = False,
+    stage_keys=STAGE_KEYS,
+) -> dict:
+    """Per-stage Sinkhorn loss (losses.py:137-162)."""
+    loss_dict = {}
+    for i, key in enumerate(stage_keys):
+        stage = outputs[key]
+        loss = sinkhorn_loss(
+            depth_gt_ms[key].astype(jnp.float32),
+            stage["depth_values"].astype(jnp.float32),
+            stage["prob_volume"].astype(jnp.float32),
+            mask_ms[key] > 0.5,
+            iters=ot_iter,
+            eps=ot_eps,
+            continuous=ot_continuous,
+        )
+        loss_dict[key] = dlossw[i] * loss
+    return loss_dict
+
+
+def total_loss(
+    outputs: dict,
+    depth_gt_ms: dict,
+    mask_ms: dict,
+    depth_interval: Array,
+    depth_type: str = "ce",
+    dlossw=(1.0, 1.0, 1.0, 1.0),
+    focal: bool = False,
+    gamma: float = 0.0,
+    inverse_depth: bool = True,
+    mask_out_range: bool = False,
+    stage_keys=STAGE_KEYS,
+):
+    """Loss dispatch matching the trainer (mvsformer_trainer.py:110-125)."""
+    if depth_type == "re":
+        loss_dict = reg_loss_stages(
+            outputs, depth_gt_ms, mask_ms, depth_interval, dlossw,
+            mask_out_range=mask_out_range, inverse_depth=inverse_depth,
+            stage_keys=stage_keys,
+        )
+    elif depth_type == "was":
+        loss_dict = wasserstein_loss_stages(
+            outputs, depth_gt_ms, mask_ms, dlossw, stage_keys=stage_keys
+        )
+    elif depth_type == "ce":
+        loss_dict = ce_loss_stages(
+            outputs, depth_gt_ms, mask_ms, dlossw, focal=focal, gamma=gamma,
+            inverse_depth=inverse_depth, stage_keys=stage_keys,
+        )
+    elif depth_type == "mixup_ce":
+        loss_dict = mixup_ce_loss_stages(
+            outputs, depth_gt_ms, mask_ms, dlossw, inverse_depth=inverse_depth,
+            stage_keys=stage_keys,
+        )
+    else:
+        raise NotImplementedError(depth_type)
+    loss = sum(loss_dict.values())
+    return loss, loss_dict
