@@ -1,0 +1,97 @@
+"""Steady-state throughput benchmark: depth-maps/s/chip at the DTU eval shape.
+
+North-star metric (BASELINE.md): full 4-stage cascade eval forward at
+1152x1536, 192 depth hypotheses, 5 views, per-stage temperatures [5,5,5,1] —
+the reference's DTU eval setting (README.md:137-148). The reference commits no
+latency number (test.py:233-249 prints but never records one), so
+`vs_baseline` is reported as 1.0 by convention against our own first recorded
+run.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mvsformer_tpu.config import ModelConfig
+    from mvsformer_tpu.models.mvsformer import build_model
+
+    platform = jax.devices()[0].platform
+    on_accel = platform not in ("cpu",)
+    # Full DTU eval shape on an accelerator; a scaled-down proxy on CPU so the
+    # harness still produces a number without real hardware.
+    if on_accel:
+        B, V, H, W, D = 1, 5, 1152, 1536, 192
+        iters, warmup = 8, 2
+    else:
+        B, V, H, W, D = 1, 3, 256, 320, 48
+        iters, warmup = 2, 1
+
+    cfg = ModelConfig()
+    model = build_model(cfg, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.standard_normal((B, V, H, W, 3)).astype(np.float32))
+    K = np.array([[W * 1.4, 0, W / 2], [0, W * 1.4, H / 2], [0, 0, 1]], np.float32)
+    projs = {}
+    for s, scale in zip(range(1, 5), (1 / 8, 1 / 4, 1 / 2, 1.0)):
+        cams = np.zeros((B, V, 2, 4, 4), np.float32)
+        for v in range(V):
+            ext = np.eye(4, dtype=np.float32)
+            ext[0, 3] = v * 2.0
+            cams[:, v, 0] = ext
+            cams[:, v, 1, :3, :3] = K * scale
+            cams[:, v, 1, 2, 2] = 1.0
+            cams[:, v, 1, 3, 3] = 1.0
+        projs[f"stage{s}"] = jnp.asarray(cams)
+    dv = jnp.asarray(
+        np.broadcast_to(np.linspace(425.0, 900.0, D, dtype=np.float32)[None], (B, D)).copy())
+
+    # jit the init: eager init dispatches each op separately (very slow on a
+    # remote/tunneled backend); one jitted computation compiles once.
+    variables = jax.jit(lambda k: model.init(k, imgs, projs, dv, training=False))(
+        jax.random.PRNGKey(0))
+
+    @jax.jit
+    def forward(params, batch_stats, imgs, projs, dv):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          imgs, projs, dv, training=False, tmp=[5.0, 5.0, 5.0, 1.0])
+        return out["refined_depth"], out["photometric_confidence"]
+
+    args = (variables["params"], variables.get("batch_stats", {}), imgs, projs, dv)
+
+    def run_once():
+        out = forward(*args)
+        jax.block_until_ready(out)
+        # Force a device->host readback: on experimental/tunneled platforms
+        # block_until_ready can return before execution completes, which would
+        # make the timing pure dispatch overhead.
+        return float(jnp.sum(out[0][::64, ::64]))
+
+    for _ in range(warmup):
+        run_once()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        run_once()
+    dt = (time.perf_counter() - t0) / iters
+
+    value = B / dt  # depth maps per second per chip
+    print(json.dumps({
+        "metric": f"depth-maps/s/chip @ {H}x{W}x{D}d {V}v ({platform})",
+        "value": round(value, 4),
+        "unit": "depth-maps/s/chip",
+        "vs_baseline": 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,6 +29,7 @@ class ViTConfig:
     nhead: int = 6
     multi_scale_decoder: bool = False
     cross_att: bool = False
+    drop_path_rate: float | None = None  # None = architecture preset
 
 
 @dataclass

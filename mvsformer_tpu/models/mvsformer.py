@@ -62,7 +62,11 @@ class TwinMVSNet(nn.Module):
             "alt_gvt_base": twins_lib.alt_gvt_base,
             "alt_gvt_large": twins_lib.alt_gvt_large,
         }[arch]
-        self.vit = builder(dtype=self.dtype)
+        if cfg.vit_args.drop_path_rate is not None:
+            self.vit = builder(dtype=self.dtype,
+                               drop_path_rate=cfg.vit_args.drop_path_rate)
+        else:
+            self.vit = builder(dtype=self.dtype)
         self.fusions = [
             StageNet(
                 ndepth=cfg.ndepths[i], stage_idx=i, base_ch=cfg.base_ch,

@@ -233,16 +233,16 @@ class ALTGVT(nn.Module):
         return outputs
 
 
-def alt_gvt_small(dtype=jnp.bfloat16) -> ALTGVT:
+def alt_gvt_small(dtype=jnp.bfloat16, drop_path_rate=0.2) -> ALTGVT:
     return ALTGVT(embed_dims=(64, 128, 256, 512), num_heads=(2, 4, 8, 16),
-                  depths=(2, 2, 10, 4), drop_path_rate=0.2, dtype=dtype)
+                  depths=(2, 2, 10, 4), drop_path_rate=drop_path_rate, dtype=dtype)
 
 
-def alt_gvt_base(dtype=jnp.bfloat16) -> ALTGVT:
+def alt_gvt_base(dtype=jnp.bfloat16, drop_path_rate=0.2) -> ALTGVT:
     return ALTGVT(embed_dims=(96, 192, 384, 768), num_heads=(3, 6, 12, 24),
-                  depths=(2, 2, 18, 2), drop_path_rate=0.2, dtype=dtype)
+                  depths=(2, 2, 18, 2), drop_path_rate=drop_path_rate, dtype=dtype)
 
 
-def alt_gvt_large(dtype=jnp.bfloat16) -> ALTGVT:
+def alt_gvt_large(dtype=jnp.bfloat16, drop_path_rate=0.3) -> ALTGVT:
     return ALTGVT(embed_dims=(128, 256, 512, 1024), num_heads=(4, 8, 16, 32),
-                  depths=(2, 2, 18, 2), drop_path_rate=0.3, dtype=dtype)
+                  depths=(2, 2, 18, 2), drop_path_rate=drop_path_rate, dtype=dtype)
