@@ -126,7 +126,7 @@ def make_train_step(model, cfg, mesh: Mesh, optimizer, donate: bool = True):
         "mask": {f"stage{i+1}": P("data") for i in range(len(cfg.ndepths))},
     }
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     sharded = shard_map(
         local_step,
@@ -136,6 +136,82 @@ def make_train_step(model, cfg, mesh: Mesh, optimizer, donate: bool = True):
         check_rep=False,
     )
     return jax.jit(sharded, donate_argnums=(0, 1, 2) if donate else ())
+
+
+def make_grad_step(model, cfg, mesh: Mesh):
+    """Jitted SPMD gradient step (no optimizer update) for micro-batch
+    accumulation (the reference's resolution-dependent grad accumulation,
+    mvsformer_trainer.py:87-137). Returns (grads, new_batch_stats, metrics)."""
+    n_view = mesh.shape["view"]
+
+    def local_grads(params, batch_stats, batch, rng):
+        imgs = jnp.concatenate([batch["imgs_ref"], batch["imgs_src"]], axis=1)
+        projs = {
+            k: jnp.concatenate([batch["proj_ref"][k], batch["proj_src"][k]], axis=1)
+            for k in batch["proj_ref"]
+        }
+        depth_values = batch["depth_values"]
+        depth_interval = depth_values[:, 1] - depth_values[:, 0]
+
+        def loss_fn(p):
+            out, updates = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                imgs, projs, depth_values, training=True,
+                mutable=["batch_stats"], rngs={"droppath": rng},
+            )
+            loss, loss_dict = loss_lib.total_loss(
+                out, batch["depth_gt"], batch["mask"], depth_interval,
+                depth_type=cfg.depth_type, focal=cfg.focal, gamma=cfg.gamma,
+                inverse_depth=cfg.inverse_depth, mask_out_range=cfg.mask_out_range,
+                stage_keys=tuple(f"stage{i+1}" for i in range(len(cfg.ndepths))),
+            )
+            return loss, (loss_dict, updates["batch_stats"])
+
+        (loss, (loss_dict, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        grads = correct_view_grads(grads, n_view, "view")
+        grads = jax.lax.pmean(grads, "data")
+        loss = jax.lax.pmean(jax.lax.pmean(loss, "view"), "data")
+        new_stats = jax.lax.pmean(new_stats, "data")
+        if n_view > 1:
+            new_stats = jax.lax.pmean(new_stats, "view")
+        metrics = {"loss": loss}
+        for k, v in loss_dict.items():
+            metrics[f"loss_{k}"] = jax.lax.pmean(jax.lax.pmean(v, "view"), "data")
+        return grads, new_stats, metrics
+
+    rep = P()
+    batch_specs = {
+        "imgs_ref": P("data"),
+        "imgs_src": P("data", "view"),
+        "proj_ref": {f"stage{i+1}": P("data") for i in range(len(cfg.ndepths))},
+        "proj_src": {f"stage{i+1}": P("data", "view") for i in range(len(cfg.ndepths))},
+        "depth_values": P("data"),
+        "depth_gt": {f"stage{i+1}": P("data") for i in range(len(cfg.ndepths))},
+        "mask": {f"stage{i+1}": P("data") for i in range(len(cfg.ndepths))},
+    }
+    from jax import shard_map
+
+    sharded = shard_map(
+        local_grads,
+        mesh=mesh,
+        in_specs=(rep, rep, batch_specs, rep),
+        out_specs=(rep, rep, rep),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_apply_step(optimizer):
+    """Jitted optimizer application for accumulated (averaged) grads."""
+
+    @jax.jit
+    def apply(params, opt_state, grads):
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, optax.global_norm(grads)
+
+    return apply
 
 
 def make_eval_step(model, cfg, mesh: Mesh, tmp=(5.0, 5.0, 5.0, 1.0)):
@@ -162,7 +238,7 @@ def make_eval_step(model, cfg, mesh: Mesh, tmp=(5.0, 5.0, 5.0, 1.0)):
         "proj_src": {f"stage{i+1}": P("data", "view") for i in range(len(cfg.ndepths))},
         "depth_values": P("data"),
     }
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     sharded = shard_map(
         local_eval,

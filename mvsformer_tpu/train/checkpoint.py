@@ -1,0 +1,76 @@
+"""Checkpoint save/restore (orbax): best/last policy with monitored metric.
+
+Functional spec: /root/reference/base/base_trainer.py:140-198 — single-file
+torch.save dict {arch, epoch, state_dict, optimizer, monitor_best, config};
+`model_best` when the monitored metric improves, `model_last` every
+save_period epochs; resume restores epoch/monitor/model/optimizer.
+
+TPU build: orbax sharded checkpoints of the param/opt-state pytrees; works
+unchanged for multi-host sharded state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_dir: str, monitor: str = "min mean_error",
+                 save_period: int = 1):
+        self.ckpt_dir = os.path.abspath(ckpt_dir)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        mode, metric = monitor.split()
+        assert mode in ("min", "max")
+        self.mode = mode
+        self.metric = metric
+        self.save_period = save_period
+        self.best = np.inf if mode == "min" else -np.inf
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def improved(self, value: float) -> bool:
+        return value < self.best if self.mode == "min" else value > self.best
+
+    def _save(self, name: str, state: dict, meta: dict):
+        path = os.path.join(self.ckpt_dir, name)
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+    def step(self, epoch: int, value: float, state: dict, extra_meta=None) -> bool:
+        """Apply the best/last policy after a validation epoch. Returns True
+        if `value` was an improvement."""
+        meta = {"epoch": epoch, "monitor_metric": self.metric,
+                "monitor_value": float(value), "monitor_best": float(self.best)}
+        if extra_meta:
+            meta.update(extra_meta)
+        is_best = self.improved(value)
+        if is_best:
+            self.best = value
+            meta["monitor_best"] = float(self.best)
+            self._save("model_best", state, meta)
+        if epoch % self.save_period == 0:
+            self._save("model_last", state, meta)
+        return is_best
+
+    def restore(self, name: str, template: dict):
+        """Restore `name` ('model_best' | 'model_last') into the shape/dtype
+        template pytree. Returns (state, meta)."""
+        path = os.path.join(self.ckpt_dir, name)
+        state = self._ckptr.restore(path, template)
+        meta = {}
+        meta_path = path + ".meta.json"
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+        self.best = meta.get("monitor_best", self.best)
+        return state, meta
+
+    def has(self, name: str) -> bool:
+        return os.path.isdir(os.path.join(self.ckpt_dir, name))

@@ -1,0 +1,238 @@
+"""Training orchestration: epoch loop, micro-batch gradient accumulation,
+validation with monitored checkpointing, early stop, TB logging.
+
+Functional spec: /root/reference/base/base_trainer.py (epoch loop, best/last
+checkpoints keyed on `min mean_error`, early stop) and
+trainer/mvsformer_trainer.py (per-epoch barrel reset, resolution-dependent
+gradient accumulation via scale_batch_map, loss dispatch, validation metrics
+with dist all-reduce). TPU differences: bf16 compute needs no GradScaler;
+collectives are pmean inside the shard_map steps; one jitted executable per
+(crop_h, crop_w, micro_batch) bucket.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvsformer_tpu.config import Config
+from mvsformer_tpu.ops import losses as loss_lib
+from mvsformer_tpu.parallel import train_step as ts
+from mvsformer_tpu.train.checkpoint import CheckpointManager
+from mvsformer_tpu.train.meters import DictAverageMeter
+from mvsformer_tpu.train.optim import make_optimizer
+from mvsformer_tpu.utils import metrics as metric_lib
+
+
+class Trainer:
+    def __init__(self, cfg: Config, model, mesh, train_loader, val_loader=None,
+                 writer=None, logger=None, is_blended=False):
+        self.cfg = cfg
+        self.model = model
+        self.mesh = mesh
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.writer = writer
+        self.logger = logger or _PrintLogger()
+        self.is_blended = is_blended
+        self.scale_batch_map = {
+            int(k): v for k, v in
+            (cfg.data.multi_scale_args.scale_batch_map or {}).items()
+        }
+
+        self.total_steps = max(1, len(train_loader)) * cfg.trainer.epochs
+        self.global_step = 0
+
+        run_dir = os.path.join(cfg.trainer.save_dir, "models", cfg.name)
+        self.ckpt = CheckpointManager(run_dir, cfg.trainer.monitor,
+                                      cfg.trainer.save_period)
+
+        self.params = None
+        self.batch_stats = None
+        self.opt_state = None
+        self._grad_step = None
+        self._apply_step = None
+        self._eval_step = None
+        self._not_improved = 0
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, sample_batch):
+        """Initialize params from one (small) batch; build optimizer."""
+        split = ts.split_ref_src(sample_batch)
+        imgs = jnp.asarray(sample_batch["imgs"][:1])
+        projs = jax.tree.map(lambda x: jnp.asarray(x[:1]), sample_batch["proj_matrices"])
+        dv = jnp.asarray(sample_batch["depth_values"][:1])
+        from mvsformer_tpu.models.mvsformer import build_model
+
+        serial = build_model(self.cfg.arch, dtype=self.model.dtype)
+        variables = jax.jit(
+            lambda k: serial.init(k, imgs, projs, dv, training=False)
+        )(jax.random.PRNGKey(0))
+        self.params = variables["params"]
+        self.batch_stats = variables.get("batch_stats", {})
+        self.optimizer, self.schedule = make_optimizer(
+            self.params, self.cfg.optimizer, self.cfg.arch.model_type,
+            self.total_steps, fix_backbone=self.cfg.arch.fix)
+        self.opt_state = self.optimizer.init(self.params)
+        self._grad_step = ts.make_grad_step(self.model, self.cfg.arch, self.mesh)
+        self._apply_step = ts.make_apply_step(self.optimizer)
+        self._eval_step = ts.make_eval_step(self.model, self.cfg.arch, self.mesh)
+
+    def state_dict(self):
+        return {"params": self.params, "batch_stats": self.batch_stats,
+                "opt_state": self.opt_state}
+
+    def restore(self, name="model_last"):
+        state, meta = self.ckpt.restore(name, self.state_dict())
+        self.params = state["params"]
+        self.batch_stats = state["batch_stats"]
+        self.opt_state = state["opt_state"]
+        return meta
+
+    # -- loops ---------------------------------------------------------------
+
+    def micro_batches(self, batch):
+        """Split a host batch into micro-batches sized by image height
+        (mvsformer_trainer.py:87-102)."""
+        B = batch["imgs"].shape[0]
+        h = batch["imgs"].shape[2]
+        mb = self.scale_batch_map.get(h, B)
+        mb = max(1, min(mb, B))
+        n = B // mb
+        for i in range(n):
+            yield jax.tree.map(
+                lambda x: x[i * mb:(i + 1) * mb] if isinstance(x, np.ndarray) else x,
+                batch)
+
+    def train_epoch(self, epoch: int) -> dict:
+        self.train_loader.set_epoch(epoch)
+        meter = DictAverageMeter()
+        t_epoch = time.time()
+        for batch_idx, batch in enumerate(self.train_loader):
+            t0 = time.time()
+            grads = None
+            n_micro = 0
+            stats = metrics = None
+            for micro in self.micro_batches(batch):
+                split = self._train_split(micro)
+                g, stats, metrics = self._grad_step(
+                    self.params, self.batch_stats, split,
+                    jax.random.PRNGKey(self.global_step))
+                grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
+                n_micro += 1
+            if n_micro > 1:
+                grads = jax.tree.map(lambda x: x / n_micro, grads)
+            self.batch_stats = stats
+            self.params, self.opt_state, gnorm = self._apply_step(
+                self.params, self.opt_state, grads)
+            self.global_step += 1
+
+            logs = {k: float(v) for k, v in metrics.items()}
+            logs["grad_norm"] = float(gnorm)
+            meter.update(logs)
+            if batch_idx % self.cfg.trainer.logging_every == 0:
+                lr = float(self.schedule(self.global_step))
+                self.logger.info(
+                    f"epoch {epoch} [{batch_idx}/{len(self.train_loader)}] "
+                    f"loss={logs['loss']:.4f} lr={lr:.2e} "
+                    f"time={time.time() - t0:.2f}s")
+                if self.writer is not None:
+                    for k, v in logs.items():
+                        self.writer.add_scalar(f"train/{k}", v, self.global_step)
+                    self.writer.add_scalar("train/lr", lr, self.global_step)
+        out = meter.mean()
+        out["epoch_time"] = time.time() - t_epoch
+        return out
+
+    def _stages(self):
+        return [f"stage{i+1}" for i in range(len(self.cfg.arch.ndepths))]
+
+    def _train_split(self, micro):
+        b = {
+            "imgs": micro["imgs"],
+            "proj_matrices": {k: micro["proj_matrices"][k] for k in self._stages()},
+            "depth_values": micro["depth_values"],
+        }
+        split = ts.split_ref_src(_to_jax(b))
+        split["depth_gt"] = _to_jax({k: micro["depth"][k] for k in self._stages()})
+        split["mask"] = _to_jax({k: micro["mask"][k] for k in self._stages()})
+        return split
+
+    def _eval_split(self, batch):
+        b = {
+            "imgs": batch["imgs"],
+            "proj_matrices": {k: batch["proj_matrices"][k] for k in self._stages()},
+            "depth_values": batch["depth_values"],
+        }
+        return ts.split_ref_src(_to_jax(b))
+
+    def valid_epoch(self, epoch: int) -> dict:
+        meter = DictAverageMeter()
+        for batch in self.val_loader:
+            split = self._eval_split(batch)
+            depth_est, conf = self._eval_step(self.params, self.batch_stats, split)
+            depth_gt = jnp.asarray(batch["depth"]["stage4"])
+            mask = jnp.asarray(batch["mask"]["stage4"]) > 0.5
+            dv = jnp.asarray(batch["depth_values"])
+            itv = dv[:, 1] - dv[:, 0]
+            if self.is_blended:
+                # per-sample interval scaling (mvsformer_trainer.py:246-256)
+                scalars = {}
+                B = depth_est.shape[0]
+                for j in range(B):
+                    di = float(itv[j])
+                    m = metric_lib.validation_metrics(
+                        depth_est[j:j + 1], depth_gt[j:j + 1], mask[j:j + 1], di)
+                    for k, v in m.items():
+                        scalars[k] = scalars.get(k, 0.0) + float(v) / B
+            else:
+                di = float(itv[0]) / 2.65
+                scalars = {k: float(v) for k, v in metric_lib.validation_metrics(
+                    depth_est, depth_gt, mask, di).items()}
+            meter.update(scalars)
+        out = meter.mean()
+        out["mean_error"] = (out["thres2mm_error"] + out["thres4mm_error"]
+                             + out["thres8mm_error"] + out["thres14mm_error"]) / 4.0
+        if self.writer is not None:
+            for k, v in out.items():
+                self.writer.add_scalar(f"val/{k}", v, epoch)
+        return out
+
+    def train(self, start_epoch: int = 1):
+        history = []
+        for epoch in range(start_epoch, self.cfg.trainer.epochs + 1):
+            train_log = self.train_epoch(epoch)
+            self.logger.info(f"epoch {epoch} train: {train_log}")
+            log = dict(train_log)
+            if self.val_loader is not None and epoch % self.cfg.trainer.eval_freq == 0:
+                val_log = self.valid_epoch(epoch)
+                self.logger.info(f"epoch {epoch} val: {val_log}")
+                log.update({f"val_{k}": v for k, v in val_log.items()})
+                improved = self.ckpt.step(epoch, val_log["mean_error"],
+                                          self.state_dict())
+                self._not_improved = 0 if improved else self._not_improved + 1
+                if self._not_improved >= self.cfg.trainer.early_stop:
+                    self.logger.info(
+                        f"early stop after {self._not_improved} stale epochs")
+                    history.append(log)
+                    break
+            else:
+                self.ckpt.step(epoch, self.ckpt.best, self.state_dict())
+            history.append(log)
+        return history
+
+
+def _to_jax(tree):
+    return jax.tree.map(
+        lambda x: jnp.asarray(x) if isinstance(x, np.ndarray) else x, tree)
+
+
+class _PrintLogger:
+    def info(self, msg):
+        print(msg, flush=True)
