@@ -1,0 +1,128 @@
+"""Phase-1 inference: predict per-reference-view depth + confidence and dump
+artifacts for fusion.
+
+Functional spec: /root/reference/test.py:171-329 (save_depth) — eval loop over
+a scan list writing `depth_est/*.pfm`, `confidence/*.npy` (combined
+stage-averaged + stacked per-stage), `cams/*_cam.txt`, `images/*.jpg` per
+reference view, with per-stage temperatures and (for DTU) depth metrics
+accumulated into depth_metric.txt.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mvsformer_tpu.data.eval_dataset import MVSEvalDataset
+from mvsformer_tpu.data.loader import MVSLoader
+from mvsformer_tpu.utils import metrics as metric_lib
+from mvsformer_tpu.utils.cams import CameraParams, write_cam_file
+from mvsformer_tpu.utils.pfm import save_pfm
+
+
+def make_infer_fn(model, tmps=(5.0, 5.0, 5.0, 1.0)):
+    """Jitted eval forward returning depth, combined + per-stage confidence."""
+
+    @jax.jit
+    def fn(params, batch_stats, imgs, projs, depth_values):
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs, projs, depth_values, training=False, tmp=list(tmps))
+        stage_confs = [out[f"stage{i}"]["photometric_confidence"]
+                       for i in range(1, 5)]
+        return out["refined_depth"], out["photometric_confidence"], stage_confs
+
+    return fn
+
+
+def save_depth(model, params, batch_stats, testlist, datapath, outdir,
+               num_view=5, ndepths=192, interval_scale=1.06, max_h=1152,
+               max_w=1536, tmps=(5.0, 5.0, 5.0, 1.0), dataset="dtu",
+               batch_size=1, combine_conf=True, logger=print):
+    """Run inference over every reference view of every scan in `testlist`."""
+    infer = make_infer_fn(model, tmps)
+    ds = MVSEvalDataset(datapath, testlist, nviews=num_view, ndepths=ndepths,
+                        interval_scale=interval_scale, max_h=max_h, max_w=max_w,
+                        dataset=dataset)
+    loader = MVSLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False,
+                       num_workers=4)
+    loader.set_epoch(0)
+
+    times = []
+    metric_sum = {}
+    metric_count = 0
+    for batch in loader:
+        imgs = jnp.asarray(batch["imgs"])
+        projs = {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()
+                 if k in ("stage1", "stage2", "stage3", "stage4")}
+        dv = jnp.asarray(batch["depth_values"])
+        t0 = time.perf_counter()
+        depth, conf, stage_confs = infer(params, batch_stats, imgs, projs, dv)
+        depth = np.asarray(depth)
+        times.append(time.perf_counter() - t0)
+
+        conf = np.asarray(conf)
+        stage_confs = [np.asarray(c) for c in stage_confs]
+
+        if "depth_gt" in batch:
+            di = float(dv[0, 1] - dv[0, 0]) / 2.65
+            gt = jnp.asarray(batch["depth_gt"])
+            mask = jnp.asarray(batch["mask"]) > 0.5
+            m = metric_lib.depth_metrics(jnp.asarray(depth), gt, mask, di)
+            for k, v in m.items():
+                metric_sum[k] = metric_sum.get(k, 0.0) + float(v)
+            metric_count += 1
+
+        for b, filename in enumerate(batch["filename"]):
+            depth_path = os.path.join(outdir, filename.format("depth_est", ".pfm"))
+            conf_path = os.path.join(outdir, filename.format("confidence", ".npy"))
+            cam_path = os.path.join(outdir, filename.format("cams", "_cam.txt"))
+            img_path = os.path.join(outdir, filename.format("images", ".jpg"))
+            for p in (depth_path, conf_path, cam_path, img_path):
+                os.makedirs(os.path.dirname(p), exist_ok=True)
+
+            save_pfm(depth_path, depth[b])
+            if combine_conf:
+                np.save(conf_path, conf[b])
+            else:
+                # stacked per-stage confidences upsampled to full res
+                import cv2
+
+                stack = [cv2.resize(c[b], (depth.shape[2], depth.shape[1]),
+                                    interpolation=cv2.INTER_NEAREST)
+                         for c in stage_confs]
+                np.save(conf_path, np.stack(stack))
+
+            ref = batch["proj_matrices"]["stage4"][b, 0]
+            cam = CameraParams(
+                extrinsic=np.asarray(ref[0]),
+                intrinsic=np.asarray(ref[1, :3, :3]),
+                depth_min=float(dv[b, 0]),
+                depth_interval=float(dv[b, 1] - dv[b, 0]),
+                num_depth=float(ndepths),
+                depth_max=float(dv[b, -1]),
+            )
+            write_cam_file(cam_path, cam)
+
+            import cv2
+
+            from mvsformer_tpu.data.augment import IMAGENET_MEAN, IMAGENET_STD
+
+            img = np.asarray(batch["imgs"][b, 0]) * IMAGENET_STD + IMAGENET_MEAN
+            img = np.clip(img * 255, 0, 255).astype(np.uint8)
+            cv2.imwrite(img_path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+
+    logger(f"avg inference time: {np.mean(times):.3f}s over {len(times)} batches")
+    if metric_count:
+        metrics = {k: v / metric_count for k, v in metric_sum.items()}
+        with open(os.path.join(outdir, "depth_metric.txt"), "w") as f:
+            for k, v in metrics.items():
+                f.write(f"{k}: {v}\n")
+        logger(f"depth metrics: {metrics}")
+        return metrics
+    return None

@@ -1,0 +1,137 @@
+"""Inference + fusion CLI (two-phase test pipeline).
+
+Functional spec: /root/reference/test.py — phase 1 `save_depth` dumps per-view
+depth/confidence/cams/images; phase 2 fuses them into per-scan point clouds
+with `pcd` (static) or `dpcd` (dynamic) consistency. The reference's third
+backend, the external fusibile CUDA binary (`gipuma`), is covered by the
+device-side `pcd` path (same consistency math, misc/gipuma.py:192-213) — pass
+`--filter_method gipuma` to run it with fusibile-style thresholds.
+
+Usage:
+  python test.py --dataset dtu --testpath /path/dtu_test --testlist lists... \
+      --ckpt_dir saved/models/MVSFormer-TPU --outdir outputs \
+      --max_h 1152 --max_w 1536 --ndepths 192 --filter_method pcd
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser(description="TPU-native MVSFormer testing")
+    parser.add_argument("--dataset", default="dtu", choices=["dtu", "tt"])
+    parser.add_argument("--testpath", required=True)
+    parser.add_argument("--testlist", default=None,
+                        help="scan list file; default = builtin benchmark list")
+    parser.add_argument("--ckpt_dir", required=True,
+                        help="run dir containing model_best + config.json")
+    parser.add_argument("--which_ckpt", default="model_best")
+    parser.add_argument("--outdir", required=True)
+    parser.add_argument("--num_view", type=int, default=5)
+    parser.add_argument("--ndepths", type=int, default=192)
+    parser.add_argument("--interval_scale", type=float, default=1.06)
+    parser.add_argument("--max_h", type=int, default=1152)
+    parser.add_argument("--max_w", type=int, default=1536)
+    parser.add_argument("--tmps", default="5.0,5.0,5.0,1.0")
+    parser.add_argument("--filter_method", default="pcd",
+                        choices=["pcd", "dpcd", "gipuma"])
+    parser.add_argument("--prob_threshold", default="0.5")
+    parser.add_argument("--thres_view", type=int, default=5)
+    parser.add_argument("--thres_disp", type=float, default=1.0)
+    parser.add_argument("--dist_base", type=float, default=4.0)
+    parser.add_argument("--rel_diff_base", type=float, default=1300.0)
+    parser.add_argument("--disp_threshold", type=float, default=0.1,
+                        help="gipuma-compat disparity threshold")
+    parser.add_argument("--num_consistent", type=int, default=2,
+                        help="gipuma-compat consistent-view count")
+    parser.add_argument("--fusion_src_views", type=int, default=10)
+    parser.add_argument("--combine_conf", action="store_true", default=True)
+    parser.add_argument("--skip_depth", action="store_true",
+                        help="fusion only (phase-1 outputs already exist)")
+    parser.add_argument("--skip_fusion", action="store_true")
+    parser.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mvsformer_tpu.config import load_config
+    from mvsformer_tpu.data import scan_lists
+    from mvsformer_tpu.fuse import fuse_scan
+    from mvsformer_tpu.infer import save_depth
+    from mvsformer_tpu.models.mvsformer import build_model
+    from mvsformer_tpu.train.checkpoint import CheckpointManager
+
+    if args.testlist:
+        with open(args.testlist) as f:
+            testlist = [line.strip() for line in f if line.strip()]
+    elif args.dataset == "dtu":
+        testlist = scan_lists.DTU_TEST
+    else:
+        testlist = scan_lists.TT_INTERMEDIATE
+
+    os.makedirs(args.outdir, exist_ok=True)
+
+    if not args.skip_depth:
+        cfg = load_config(os.path.join(args.ckpt_dir, "config.json"))
+        dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+        model = build_model(cfg.arch, dtype=dtype)
+
+        # Restore params from the checkpoint (template from a tiny init).
+        import numpy as np
+
+        dummy_imgs = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
+        dummy_projs = {f"stage{i}": jnp.zeros((1, 2, 2, 4, 4), jnp.float32)
+                       for i in range(1, 5)}
+        dummy_projs = jax.tree.map(
+            lambda x: x.at[..., 0, :, :].set(jnp.eye(4)).at[..., 1, :, :].set(jnp.eye(4)),
+            dummy_projs)
+        dummy_dv = jnp.asarray(np.linspace(400, 900, 48, dtype=np.float32)[None])
+        variables = jax.jit(
+            lambda k: model.init(k, dummy_imgs, dummy_projs, dummy_dv, training=False)
+        )(jax.random.PRNGKey(0))
+
+        ckpt = CheckpointManager(args.ckpt_dir)
+        state, _ = ckpt.restore(args.which_ckpt, {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        })
+        tmps = [float(t) for t in args.tmps.split(",")]
+        save_depth(model, state["params"], state["batch_stats"], testlist,
+                   args.testpath, args.outdir, num_view=args.num_view,
+                   ndepths=args.ndepths, interval_scale=args.interval_scale,
+                   max_h=args.max_h, max_w=args.max_w, tmps=tmps,
+                   dataset=args.dataset, combine_conf=args.combine_conf)
+
+    if not args.skip_fusion:
+        prob_threshold = [float(p) for p in args.prob_threshold.split(",")]
+        for scan in testlist:
+            pair_folder = os.path.join(args.testpath, scan)
+            scan_folder = os.path.join(args.outdir, scan)
+            ply = os.path.join(args.outdir, f"{scan}.ply")
+            if args.filter_method == "gipuma":
+                # fusibile-equivalent thresholds on the device-side path
+                fuse_scan(pair_folder, scan_folder, ply, method="pcd",
+                          prob_threshold=prob_threshold,
+                          thres_view=args.num_consistent + 1,
+                          dist_thresh=args.disp_threshold * 10,
+                          rel_diff_thresh=0.01,
+                          n_src_views=args.fusion_src_views)
+            elif args.filter_method == "pcd":
+                fuse_scan(pair_folder, scan_folder, ply, method="pcd",
+                          prob_threshold=prob_threshold,
+                          thres_view=args.thres_view,
+                          dist_thresh=args.thres_disp,
+                          n_src_views=args.fusion_src_views)
+            else:
+                fuse_scan(pair_folder, scan_folder, ply, method="dpcd",
+                          prob_threshold=prob_threshold,
+                          dist_base=args.dist_base,
+                          rel_diff_base=args.rel_diff_base,
+                          n_src_views=args.fusion_src_views)
+
+
+if __name__ == "__main__":
+    main()

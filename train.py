@@ -1,0 +1,115 @@
+"""Training CLI.
+
+Functional spec: /root/reference/train.py — config + CLI overrides, dataset /
+loader / model / optimizer construction, distributed setup, Trainer launch.
+TPU differences: no mp.spawn/NCCL — one process per host with
+`jax.distributed.initialize` for multi-host and a ("data","view","depth")
+mesh over all devices; bf16 needs no GradScaler.
+
+Usage:
+  python train.py --config configs/config_mvsformer.json \
+      --data_path /path/to/DTU [--view_parallel 2] [--resume]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser(description="TPU-native MVSFormer training")
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--data_path", type=str, default=None)
+    parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
+    parser.add_argument("--view_parallel", type=int, default=1,
+                        help="size of the 'view' mesh axis")
+    parser.add_argument("--multi_host", action="store_true",
+                        help="call jax.distributed.initialize()")
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.multi_host:
+        jax.distributed.initialize()
+
+    import jax.numpy as jnp
+    from tensorboardX import SummaryWriter
+
+    from mvsformer_tpu.config import load_config, save_config
+    from mvsformer_tpu.data.blended import BlendedMVSDataset
+    from mvsformer_tpu.data.dtu import DTUMVSDataset
+    from mvsformer_tpu.data.loader import MVSLoader
+    from mvsformer_tpu.models.mvsformer import build_model
+    from mvsformer_tpu.parallel import mesh as mesh_lib
+    from mvsformer_tpu.train.trainer import Trainer
+
+    overrides = {}
+    if args.lr is not None:
+        overrides["optimizer.lr"] = args.lr
+    cfg = load_config(args.config, overrides)
+    if args.data_path:
+        cfg.data.datapath = args.data_path
+
+    host_id = jax.process_index()
+    num_hosts = jax.process_count()
+
+    is_blended = cfg.data.type == "BlendedLoader"
+    ds_cls = BlendedMVSDataset if is_blended else DTUMVSDataset
+    dkw = dict(
+        nviews=cfg.data.nviews, ndepths=cfg.data.num_depths,
+        interval_scale=cfg.data.interval_scale, crop=cfg.data.crop,
+        augment=cfg.data.augment, aug_args=vars(cfg.data.aug_args),
+        height=cfg.data.height, width=cfg.data.width,
+        multi_scale=cfg.data.multi_scale,
+        multi_scale_args={
+            "scales": cfg.data.multi_scale_args.scales,
+            "resize_range": cfg.data.multi_scale_args.resize_range,
+            "scale_batch_map": cfg.data.multi_scale_args.scale_batch_map,
+        },
+        resize_scale=cfg.data.resize_scale, consist_crop=cfg.data.consist_crop,
+        seed=args.seed)
+    train_ds = ds_cls(cfg.data.datapath, cfg.data.train_data_list, "train",
+                      batch_size=cfg.data.batch_size // num_hosts, **dkw)
+    val_ds = ds_cls(cfg.data.datapath, cfg.data.val_data_list, "val", **dkw)
+
+    per_host_batch = max(1, cfg.data.batch_size // num_hosts)
+    train_loader = MVSLoader(train_ds, per_host_batch, shuffle=cfg.data.shuffle,
+                             num_workers=cfg.data.num_workers, seed=args.seed,
+                             host_id=host_id, num_hosts=num_hosts)
+    val_loader = MVSLoader(val_ds, per_host_batch, shuffle=False,
+                           drop_last=False, num_workers=cfg.data.num_workers,
+                           host_id=host_id, num_hosts=num_hosts)
+    val_loader.set_epoch(0)
+
+    mesh = mesh_lib.make_mesh(data=-1, view=args.view_parallel, depth=1)
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = build_model(cfg.arch, dtype=dtype, axis_name="data",
+                        view_axis="view" if args.view_parallel > 1 else None)
+
+    run_dir = os.path.join(cfg.trainer.save_dir, "models", cfg.name)
+    os.makedirs(run_dir, exist_ok=True)
+    writer = SummaryWriter(os.path.join(cfg.trainer.save_dir, "log", cfg.name)) \
+        if host_id == 0 else None
+    save_config(cfg, os.path.join(run_dir, "config.json"))
+
+    trainer = Trainer(cfg, model, mesh, train_loader, val_loader, writer=writer,
+                      is_blended=is_blended)
+    train_loader.set_epoch(0)
+    first = next(iter(train_loader))
+    trainer.init_state(first)
+
+    start_epoch = 1
+    if args.resume and trainer.ckpt.has("model_last"):
+        meta = trainer.restore("model_last")
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        print(f"resumed from epoch {meta.get('epoch')}")
+
+    trainer.train(start_epoch)
+
+
+if __name__ == "__main__":
+    main()
