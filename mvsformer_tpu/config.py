@@ -50,6 +50,8 @@ class ModelConfig:
     depth_interals_ratio: Any = field(default_factory=lambda: [4.0, 2.67, 1.5, 1.0])
     multi_scale: bool = False
     norm_type: str = "BN"  # BN | GN — GN avoids cross-replica stat sync on TPU
+    use_fused_warp: bool = True  # Pallas warp+corr kernel on the eval path
+    fused_band_rows: int = 16  # y-band height K of the fused kernel
     vit_args: ViTConfig = field(default_factory=ViTConfig)
 
 

@@ -135,7 +135,9 @@ class DTUMVSDataset:
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
 
     def _read_depth(self, path):
-        return np.asarray(read_pfm(path)[0], np.float32)
+        from mvsformer_tpu.data import native
+
+        return native.read_pfm(path)
 
     def _read_mask(self, path):
         import cv2

@@ -39,9 +39,10 @@ class FusionDataset:
         return len(self.pairs)
 
     def _load_view(self, vid):
-        depth = np.asarray(
-            read_pfm(os.path.join(self.scan_folder, "depth_est", f"{vid:0>8}.pfm"))[0],
-            np.float32)
+        from mvsformer_tpu.data import native
+
+        depth = native.read_pfm(
+            os.path.join(self.scan_folder, "depth_est", f"{vid:0>8}.pfm"))
         conf = np.load(os.path.join(self.scan_folder, "confidence", f"{vid:0>8}.npy"))
         cam = read_cam_file(os.path.join(self.scan_folder, "cams", f"{vid:0>8}_cam.txt"))
         return depth, conf, cam.stacked()

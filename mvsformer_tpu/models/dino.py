@@ -25,6 +25,7 @@ from mvsformer_tpu.models.decoders import (
 )
 from mvsformer_tpu.models.fpn import FPNDecoder, FPNDecoderV2, FPNEncoder
 from mvsformer_tpu.models.stagenet import StageNet
+from mvsformer_tpu.models.mvsformer import fused_ok
 from mvsformer_tpu.ops import hypotheses
 from mvsformer_tpu.ops.resize import resize_bicubic, resize_nearest
 
@@ -87,7 +88,12 @@ class ViTBlock(nn.Module):
 
 
 class DINOViT(nn.Module):
-    """ViT with CLS token and resolution-adaptive positional embedding."""
+    """ViT with CLS token and resolution-adaptive positional embedding.
+
+    Optional cross-view linear attention (vision_transformer.py:375-443):
+    when `cross_att`, a CrossBlock runs after every depth//cross_num blocks,
+    mixing information across the V views of each sample.
+    """
 
     embed_dim: int = 384
     depth: int = 12
@@ -95,10 +101,13 @@ class DINOViT(nn.Module):
     patch_size: int = 16
     qk_scale: str | float = "default"
     pretrain_grid: int = 14  # 224/16 — grid the pretrained pos-embed lives on
+    cross_att: bool = False
+    cross_num: int = 4
+    nview: int = 5
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, epipoles=None):
         """x: [B, H, W, 3] -> (tokens [B, 1+N, C] after final norm,
         last-block attention [B, nh, 1+N, 1+N])."""
         B, H, W, _ = x.shape
@@ -132,6 +141,7 @@ class DINOViT(nn.Module):
         tokens = tokens + jnp.concatenate([cls_pos, patch_pos], axis=1).astype(self.dtype)
 
         att = None
+        cross_inter = self.depth // self.cross_num if self.cross_att else 0
         for i in range(self.depth):
             blk = ViTBlock(self.embed_dim, self.num_heads, qk_scale=self.qk_scale,
                            dtype=self.dtype, name=f"block{i}")
@@ -139,18 +149,28 @@ class DINOViT(nn.Module):
                 tokens = blk(tokens, deterministic)
             else:
                 tokens, att = blk(tokens, deterministic, return_attention=True)
+            if self.cross_att and (i + 1) % cross_inter == 0:
+                from mvsformer_tpu.models.cross_attention import CrossBlock
+
+                tokens = CrossBlock(
+                    self.embed_dim, self.num_heads, nview=self.nview,
+                    dtype=self.dtype,
+                    name=f"cross_block{(i + 1) // cross_inter - 1}",
+                )(tokens, epipoles, gh, gw)
         tokens = nn.LayerNorm(dtype=self.dtype, name="norm")(tokens)
         return tokens, att
 
 
-def vit_small(patch_size=16, qk_scale="default", dtype=jnp.bfloat16) -> DINOViT:
+def vit_small(patch_size=16, qk_scale="default", dtype=jnp.bfloat16,
+              cross_att=False, nview=5) -> DINOViT:
     return DINOViT(embed_dim=384, depth=12, num_heads=6, patch_size=patch_size,
-                   qk_scale=qk_scale, dtype=dtype)
+                   qk_scale=qk_scale, cross_att=cross_att, nview=nview, dtype=dtype)
 
 
-def vit_base(patch_size=16, qk_scale="default", dtype=jnp.bfloat16) -> DINOViT:
+def vit_base(patch_size=16, qk_scale="default", dtype=jnp.bfloat16,
+             cross_att=False, nview=5) -> DINOViT:
     return DINOViT(embed_dim=768, depth=12, num_heads=12, patch_size=patch_size,
-                   qk_scale=qk_scale, dtype=dtype)
+                   qk_scale=qk_scale, cross_att=cross_att, nview=nview, dtype=dtype)
 
 
 class DINOMVSNet(nn.Module):
@@ -194,6 +214,8 @@ class DINOMVSNet(nn.Module):
                 fusion_type=cfg.fusion_type, depth_type=cfg.depth_type,
                 model_th=cfg.model_th, attn_temp=cfg.attn_temp, norm=cfg.norm_type,
                 dtype=self.dtype, axis_name=self.axis_name, view_axis=self.view_axis,
+                use_fused_warp=cfg.use_fused_warp and fused_ok(),
+                fused_band_rows=cfg.fused_band_rows,
                 name=f"stage{i + 1}",
             )
             for i in range(len(cfg.ndepths))
@@ -263,7 +285,9 @@ class DINOMVSNet(nn.Module):
             stage_tmp = tmp[stage_idx] if isinstance(tmp, (list, tuple)) else tmp
             prev = self.fusions[stage_idx](
                 feat[:, 0], feat[:, 1:], projs[:, 0], projs[:, 1:], samples,
-                training=training, tmp=stage_tmp, want_similarity=not training,
+                training=training, tmp=stage_tmp,
+                want_similarity=not training and not (
+                    cfg.use_fused_warp and fused_ok()),
             )
             outputs[f"stage{stage_idx + 1}"] = prev
 

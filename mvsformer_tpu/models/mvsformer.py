@@ -32,6 +32,15 @@ Dtype = Any
 STAGE_SCALES = (8, 4, 2, 1)  # stage1..stage4 feature-map downscale factors
 
 
+def fused_ok() -> bool:
+    """The Pallas fused warp kernel only lowers on real TPU backends; CPU
+    tests and the forced-host mesh use the XLA path."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 class TwinMVSNet(nn.Module):
     """MVSFormer main variant: Twins ALTGVT backbone + FPN cascade."""
 
@@ -73,6 +82,8 @@ class TwinMVSNet(nn.Module):
                 fusion_type=cfg.fusion_type, depth_type=cfg.depth_type,
                 model_th=cfg.model_th, attn_temp=cfg.attn_temp, norm=cfg.norm_type,
                 dtype=self.dtype, axis_name=self.axis_name, view_axis=self.view_axis,
+                use_fused_warp=cfg.use_fused_warp and fused_ok(),
+                fused_band_rows=cfg.fused_band_rows,
                 name=f"stage{i + 1}",
             )
             for i in range(len(cfg.ndepths))
@@ -139,7 +150,9 @@ class TwinMVSNet(nn.Module):
             stage_tmp = tmp[stage_idx] if isinstance(tmp, (list, tuple)) else tmp
             prev = self.fusions[stage_idx](
                 feat[:, 0], feat[:, 1:], projs[:, 0], projs[:, 1:], samples,
-                training=training, tmp=stage_tmp, want_similarity=not training,
+                training=training, tmp=stage_tmp,
+                want_similarity=not training and not (
+                    cfg.use_fused_warp and fused_ok()),
             )
             outputs[f"stage{stage_idx + 1}"] = prev
 

@@ -59,6 +59,8 @@ class StageNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     axis_name: str | None = None  # batch axis (BN sync)
     view_axis: str | None = None  # mesh axis the source views are sharded over
+    use_fused_warp: bool = False  # Pallas fused warp+corr (eval path, TPU)
+    fused_band_rows: int = 16
 
     @nn.compact
     def __call__(
@@ -90,12 +92,27 @@ class StageNet(nn.Module):
         elif self.fusion_type == "epipoleV2":
             attn_temp = self.param("attn_temp", lambda k: jnp.float32(1.0))
 
+        # The Pallas fused path computes the correlation without ever
+        # materializing the warped volume; the similarity diagnostic needs the
+        # raw warp, so it forces the XLA path.
+        fused = self.use_fused_warp and not training and not want_similarity
+
         dv32 = depth_values.astype(jnp.float32)
         for v in range(Vs):
             src_proj_full = geometry.compose_projection(src_projs[:, v].astype(jnp.float32))
-            warped, invalid = geometry.homo_warp(
-                src_feats[:, v].astype(jnp.float32), src_proj_full, ref_proj_full, dv32)
-            corr = corr_ops.groupwise_correlation(ref32, warped, G)  # [B,D,H,W,G]
+            if fused:
+                from mvsformer_tpu.ops.pallas.warp_corr import plane_sweep_group_corr
+
+                corr, invalid = plane_sweep_group_corr(
+                    ref32, src_feats[:, v].astype(jnp.float32), src_proj_full,
+                    ref_proj_full, dv32, groups=G,
+                    band_rows=self.fused_band_rows,
+                    want_invalid=(self.fusion_type == "epipoleV2"))
+            else:
+                warped, invalid = geometry.homo_warp(
+                    src_feats[:, v].astype(jnp.float32), src_proj_full,
+                    ref_proj_full, dv32)
+                corr = corr_ops.groupwise_correlation(ref32, warped, G)
 
             if want_similarity:
                 sim_sum = sim_sum + corr_ops.cosine_similarity_volume(ref32, warped, G)

@@ -9,22 +9,23 @@ eval frame time. This kernel eliminates gathers entirely:
 
 i.e. bilinear sampling == multiplying by two tent-kernel interpolation
 matrices. The x-pass runs on the MXU as a banded matmul (for a 128-wide
-output tile, px spans a ~JT-wide source window, so only one [128, JT] weight
-tile is needed); the y-pass is a K-row weighted combine on the VPU. The
+output tile, px spans a ~JT-wide source window, so only one [RX, JT] weight
+block is needed); the y-pass is a K-row weighted combine on the VPU. The
 warped feature row never exists in HBM — it is correlated with the reference
 row in-register and only the [.., G]-group correlation leaves the kernel.
 
-Band semantics: each (depth, row-block, x-tile) step samples a source window
-of K rows x JT columns whose origin is precomputed in XLA (stop-gradient
-coordinate pass). Taps falling outside the window get zero weight — the same
-zero-padding the reference's grid_sample uses for out-of-image taps
+Band semantics: each (depth, row-block) step DMAs a K-row full-width source
+band into VMEM once (amortized over the row's x-tiles); each x-tile uses a
+JT-wide 128-aligned window of it. Taps outside the window get zero weight —
+the same zero-padding grid_sample uses for out-of-image taps
 (warping.py:105-106) — and pixels whose bilinear support is not fully inside
-the window are reported in the `oob` mask (they are exactly the pixels an
-out-of-frustum mask would kill for standard MVS camera geometry; the caller
-ORs `oob` into the frustum mask).
+the window are reported in the `oob` mask (ORed into the frustum mask by the
+caller; for standard MVS geometry these are pixels the frustum mask kills
+anyway). px/py arrive pre-transposed as [RX, 1] sublane columns so the kernel
+does no lane->sublane relayouts.
 
 Forward-only: training keeps the XLA path (exact VJP); inference calls this
-kernel via ops/correlation_fast.plane_sweep_group_corr.
+kernel from StageNet when `use_fused_warp` is on.
 """
 
 from __future__ import annotations
@@ -43,12 +44,12 @@ XT = 128  # output columns per grid step (lane tile)
 def _kernel(
     y_start_ref,  # scalar-prefetch [B*D*HB] i32
     x_start_ref,  # scalar-prefetch [B*D*HB*NXT] i32
-    px_ref,  # [1, 1, ROWS, XT] f32
-    py_ref,  # [1, 1, ROWS, XT] f32
+    pxt_ref,  # [1, 1, 1, 1, RX] f32 (tile-flattened lanes)
+    pyt_ref,  # [1, 1, 1, 1, RX] f32
     ref_ref,  # [1, ROWS, XT, C]
-    src_ref,  # [1, H, C, W] (HBM; manual DMA)
+    src_ref,  # [1, H+K, C, WSRC] (HBM; manual DMA)
     out_ref,  # [1, 1, ROWS, XT, G] f32
-    band_ref,  # scratch [K, C, JT]
+    band_ref,  # scratch [K, C, WSRC]
     sem,  # DMA semaphore
     *,
     K: int,
@@ -65,49 +66,48 @@ def _kernel(
 
     flat_row = (b * pl.num_programs(1) + d) * HB + hb
     y0 = y_start_ref[flat_row]
-    x0 = x_start_ref[flat_row * NXT + xt]
+    x0 = pl.multiple_of(x_start_ref[flat_row * NXT + xt], 128)
 
-    dma = pltpu.make_async_copy(
-        src_ref.at[0, pl.ds(y0, K), :, pl.ds(x0, JT)],
-        band_ref,
-        sem,
-    )
-    dma.start()
+    # One full-width band DMA per (d, row-block), reused by all x-tiles.
+    @pl.when(xt == 0)
+    def _():
+        dma = pltpu.make_async_copy(src_ref.at[0, pl.ds(y0, K)], band_ref, sem)
+        dma.start()
+        dma.wait()
 
-    px = px_ref[0, 0]  # [ROWS, XT]
-    py = py_ref[0, 0]
+    # One lane->sublane relayout per array per step (a [1,RX] transpose);
+    # storing the columns directly would cost 16x HBM padding on the input.
+    pxf = pxt_ref[0, 0, 0].reshape(1, -1).T  # [RX, 1]
+    pyf = pyt_ref[0, 0, 0].reshape(1, -1).T
 
-    # Tent weights. j iota is the absolute source column of each band column.
-    # (Mosaic only supports integer iota — cast after.)
     j_abs = x0.astype(jnp.float32) + jax.lax.broadcasted_iota(
-        jnp.int32, (XT, JT), 1).astype(jnp.float32)
+        jnp.int32, (1, JT), 1).astype(jnp.float32)
     k_abs = y0.astype(jnp.float32) + jax.lax.broadcasted_iota(
-        jnp.int32, (XT, K), 1).astype(jnp.float32)
+        jnp.int32, (1, K), 1).astype(jnp.float32)
 
-    dma.wait()
-    band = band_ref[:].reshape(K * C, JT)  # [K*C, JT]
+    band = band_ref[:, :, pl.ds(x0, JT)].reshape(K * C, JT)
 
     cg = C // G
-    # Block-diagonal group-averaging matrix [C, G].
     ci = jax.lax.broadcasted_iota(jnp.int32, (C, G), 0)
     gi = jax.lax.broadcasted_iota(jnp.int32, (C, G), 1)
     gmat = ((ci // cg) == gi).astype(jnp.float32) / float(cg)
 
-    for r in range(ROWS):
-        wx = jnp.maximum(1.0 - jnp.abs(px[r][:, None] - j_abs), 0.0)  # [XT, JT]
-        p = jax.lax.dot_general(
-            wx, band,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [XT, K*C]
-        wy = jnp.maximum(1.0 - jnp.abs(py[r][:, None] - k_abs), 0.0)  # [XT, K]
-        warped = jnp.zeros((XT, C), jnp.float32)
-        for k in range(K):
-            warped = warped + wy[:, k:k + 1] * p[:, k * C:(k + 1) * C]
-        refrow = ref_ref[0, r].astype(jnp.float32)  # [XT, C]
-        corr = jnp.dot(refrow * warped, gmat,
-                       preferred_element_type=jnp.float32)  # [XT, G]
-        out_ref[0, 0, r] = corr
+    # x-interpolation for the whole row-block as ONE MXU matmul.
+    wx = jnp.maximum(1.0 - jnp.abs(pxf - j_abs), 0.0)  # [RX, JT]
+    p = jax.lax.dot_general(
+        wx, band,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [RX, K*C]
+    # y-combine on the VPU.
+    wy = jnp.maximum(1.0 - jnp.abs(pyf - k_abs), 0.0)  # [RX, K]
+    warped = jnp.zeros((ROWS * XT, C), jnp.float32)
+    for k in range(K):
+        warped = warped + wy[:, k:k + 1] * p[:, k * C:(k + 1) * C]
+    refblk = ref_ref[0].reshape(ROWS * XT, C).astype(jnp.float32)
+    corr = jnp.dot(refblk * warped, gmat,
+                   preferred_element_type=jnp.float32)  # [RX, G]
+    out_ref[0, 0] = corr.reshape(ROWS, XT, G)
 
 
 def _pad_to(x, size, axis):
@@ -119,7 +119,8 @@ def _pad_to(x, size, axis):
     return jnp.pad(x, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("groups", "band_rows", "band_cols"))
+@functools.partial(jax.jit, static_argnames=("groups", "band_rows", "band_cols",
+                                             "want_invalid"))
 def plane_sweep_group_corr(
     ref_fea,  # [B, H, W, C]
     src_fea,  # [B, H, W, C]
@@ -128,12 +129,16 @@ def plane_sweep_group_corr(
     depth_values,  # [B, D, H, W] or [B, D]
     groups: int = 8,
     band_rows: int = 16,
-    band_cols: int = 256,
+    band_cols: int = 384,
+    want_invalid: bool = True,
 ):
     """Fused warp + G-group correlation for ONE source view.
 
     Returns (corr [B, D, H, W, G] f32, invalid [B, D, H, W] bool) matching
     groupwise_correlation(homo_warp(...)) up to the band semantics above.
+    With want_invalid=False the mask is skipped entirely (returns None) —
+    the cnn fusion mode never reads it, and dropping it lets XLA DCE the
+    full-volume coordinate bookkeeping (significant HBM at eval shapes).
     """
     from mvsformer_tpu.ops.geometry import plane_sweep_coords
 
@@ -154,6 +159,7 @@ def plane_sweep_group_corr(
     Wp = -(-W // XT) * XT
     HB = Hp // ROWS
     NXT = Wp // XT
+    RX = ROWS * XT
 
     def edge_pad(x, target, axis):
         pad = target - x.shape[axis]
@@ -167,30 +173,44 @@ def plane_sweep_group_corr(
     pyp = edge_pad(edge_pad(py, Hp, 2), Wp, 3)
     refp = _pad_to(_pad_to(ref_fea, Hp, 1), Wp, 2)
 
-    # Source in [B, H, C, W] so a band DMA lands as [K, C, JT] with the
-    # contraction axis (w) minor. Pad W by JT so any clamped window fits.
-    src_hcw = jnp.transpose(src_fea, (0, 1, 3, 2))  # [B, H, C, W]
-    src_hcw = _pad_to(_pad_to(src_hcw, H + K, 1), W + JT, 3)
+    # Per-(hb, xt)-tile flattened coordinates: [B, D, HB*NXT, 1, RX] with
+    # rx = r*XT + x (dense lanes; no HBM padding).
+    def to_cols(a):
+        a = a.reshape(B, D, HB, ROWS, NXT, XT)
+        a = a.transpose(0, 1, 2, 4, 3, 5)  # [B, D, HB, NXT, ROWS, XT]
+        return a.reshape(B, D, HB * NXT, 1, RX)
 
-    # Window origins (XLA precompute): per (b, d, row-block) y band start and
-    # per (b, d, row-block, x-tile) column window start.
+    pxt = to_cols(pxp)
+    pyt = to_cols(pyp)
+
+    # Source in [B, H, C, W]: band DMA lands as [K, C, WSRC]; per-tile windows
+    # are 128-aligned lane slices of the in-VMEM band.
+    max_x0 = (W // 128) * 128
+    WSRC = max_x0 + JT
+    src_hcw = jnp.transpose(src_fea, (0, 1, 3, 2))  # [B, H, C, W]
+    src_hcw = _pad_to(_pad_to(src_hcw, H + K, 1), WSRC, 3)
+
+    # Window origins.
     py_blk = pyp.reshape(B, D, HB, ROWS, Wp)
     y_min = jnp.floor(py_blk.min(axis=(3, 4))).astype(jnp.int32)
-    y_start = jnp.clip(y_min, 0, H)  # padded src has H+K rows
+    y_start = jnp.clip(y_min, 0, H)
     px_blk = pxp.reshape(B, D, HB, ROWS, NXT, XT)
     x_min = jnp.floor(px_blk.min(axis=(3, 5))).astype(jnp.int32)
-    x_start = jnp.clip(x_min, 0, W)  # padded src has W+JT cols
+    x_start = jnp.clip((x_min // 128) * 128, 0, max_x0)
 
-    # Out-of-band support -> invalid (band must cover floor(p)..floor(p)+1).
-    y_hi = y_start.astype(jnp.float32)[:, :, :, None, None] + (K - 1)
-    y_lo = y_start.astype(jnp.float32)[:, :, :, None, None]
-    oob_y = (py_blk < y_lo - 0.0) | (py_blk > y_hi)
-    oob_y = oob_y.reshape(B, D, Hp, Wp)[:, :, :H, :W]
-    x_hi = x_start.astype(jnp.float32)[:, :, :, None, :, None] + (JT - 1)
-    x_lo = x_start.astype(jnp.float32)[:, :, :, None, :, None]
-    oob_x = (px_blk < x_lo) | (px_blk > x_hi)
-    oob_x = oob_x.reshape(B, D, Hp, Wp)[:, :, :H, :W]
-    invalid = invalid | oob_x | oob_y
+    if want_invalid:
+        # Out-of-band support -> invalid (band covers floor(p)..floor(p)+1).
+        y_hi = y_start.astype(jnp.float32)[:, :, :, None, None] + (K - 1)
+        y_lo = y_start.astype(jnp.float32)[:, :, :, None, None]
+        oob_y = (py_blk < y_lo) | (py_blk > y_hi)
+        oob_y = oob_y.reshape(B, D, Hp, Wp)[:, :, :H, :W]
+        x_hi = x_start.astype(jnp.float32)[:, :, :, None, :, None] + (JT - 1)
+        x_lo = x_start.astype(jnp.float32)[:, :, :, None, :, None]
+        oob_x = (px_blk < x_lo) | (px_blk > x_hi)
+        oob_x = oob_x.reshape(B, D, Hp, Wp)[:, :, :H, :W]
+        invalid = invalid | oob_x | oob_y
+    else:
+        invalid = None
 
     grid = (B, D, HB, NXT)
     kernel = functools.partial(_kernel, K=K, JT=JT, C=C, G=G, HB=HB, NXT=NXT)
@@ -201,11 +221,11 @@ def plane_sweep_group_corr(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, ROWS, XT),
-                             lambda b, d, h, x, *_: (b, d, h, x),
+                pl.BlockSpec((1, 1, 1, 1, RX),
+                             lambda b, d, h, x, *_: (b, d, h * NXT + x, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, ROWS, XT),
-                             lambda b, d, h, x, *_: (b, d, h, x),
+                pl.BlockSpec((1, 1, 1, 1, RX),
+                             lambda b, d, h, x, *_: (b, d, h * NXT + x, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, ROWS, XT, C),
                              lambda b, d, h, x, *_: (b, h, x, 0),
@@ -216,15 +236,18 @@ def plane_sweep_group_corr(
                                    lambda b, d, h, x, *_: (b, d, h, x, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((K, C, JT), src_fea.dtype),
+                pltpu.VMEM((K, C, WSRC), src_fea.dtype),
                 pltpu.SemaphoreType.DMA,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, D, Hp, Wp, G), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 4,
+            # Stage-1 shapes (C=64, K=16) need ~18MB of scoped VMEM (band +
+            # interp blocks + pipeline buffers); raise the default 16MB cap.
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(y_start.reshape(-1), x_start.reshape(-1), pxp, pyp,
+    )(y_start.reshape(-1), x_start.reshape(-1), pxt, pyt,
       refp.astype(src_fea.dtype), src_hcw)
 
     return out[:, :, :H, :W], invalid
