@@ -180,6 +180,7 @@ class DINOMVSNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     axis_name: str | None = None
     view_axis: str | None = None
+    depth_sharding: Any = None
 
     def setup(self):
         cfg = self.cfg
@@ -216,6 +217,7 @@ class DINOMVSNet(nn.Module):
                 dtype=self.dtype, axis_name=self.axis_name, view_axis=self.view_axis,
                 use_fused_warp=cfg.use_fused_warp and fused_ok(),
                 fused_band_rows=cfg.fused_band_rows,
+                depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",
             )
             for i in range(len(cfg.ndepths))

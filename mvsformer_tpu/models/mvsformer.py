@@ -48,6 +48,7 @@ class TwinMVSNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     axis_name: str | None = None
     view_axis: str | None = None
+    depth_sharding: Any = None
 
     def setup(self):
         cfg = self.cfg
@@ -84,6 +85,7 @@ class TwinMVSNet(nn.Module):
                 dtype=self.dtype, axis_name=self.axis_name, view_axis=self.view_axis,
                 use_fused_warp=cfg.use_fused_warp and fused_ok(),
                 fused_band_rows=cfg.fused_band_rows,
+                depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",
             )
             for i in range(len(cfg.ndepths))
@@ -170,12 +172,20 @@ class TwinMVSNet(nn.Module):
         return outputs
 
 
-def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None, view_axis=None):
-    """Model factory keyed on cfg.model_type."""
+def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None,
+                view_axis=None, depth_sharding=None):
+    """Model factory keyed on cfg.model_type.
+
+    depth_sharding: optional NamedSharding(mesh, P(None, "depth")) enabling
+    depth-slab GSPMD sharding of the cost volumes (pair with shard_map
+    axis_names that leave "depth" automatic).
+    """
     if cfg.model_type == "twin":
-        return TwinMVSNet(cfg, dtype=dtype, axis_name=axis_name, view_axis=view_axis)
+        return TwinMVSNet(cfg, dtype=dtype, axis_name=axis_name,
+                          view_axis=view_axis, depth_sharding=depth_sharding)
     if cfg.model_type == "dino":
         from mvsformer_tpu.models.dino import DINOMVSNet
 
-        return DINOMVSNet(cfg, dtype=dtype, axis_name=axis_name, view_axis=view_axis)
+        return DINOMVSNet(cfg, dtype=dtype, axis_name=axis_name,
+                          view_axis=view_axis, depth_sharding=depth_sharding)
     raise ValueError(f"unknown model_type {cfg.model_type}")

@@ -61,6 +61,12 @@ class StageNet(nn.Module):
     view_axis: str | None = None  # mesh axis the source views are sharded over
     use_fused_warp: bool = False  # Pallas fused warp+corr (eval path, TPU)
     fused_band_rows: int = 16
+    # Optional NamedSharding for depth-hypothesis-slab sharding of the cost
+    # volume over the mesh's "depth" axis. The constraint makes GSPMD shard
+    # the 3D cost-regularization U-Net along D (halo exchanges for the 3x3x3
+    # convs are inserted automatically); the warp/correlation upstream
+    # propagates to per-slab compute. SURVEY.md section 5.7's depth-slab plan.
+    depth_sharding: Any = None
 
     @nn.compact
     def __call__(
@@ -141,6 +147,9 @@ class StageNet(nn.Module):
                 sim_sum = jax.lax.psum(sim_sum, self.view_axis)
 
         volume_mean = volume_sum / (vis_sum[..., None] + 1e-6)
+        if self.depth_sharding is not None:
+            volume_mean = jax.lax.with_sharding_constraint(
+                volume_mean, self.depth_sharding)
 
         # 3D regularization in compute dtype.
         if self.fusion_type == "epipole":

@@ -133,6 +133,7 @@ def make_train_step(model, cfg, mesh: Mesh, optimizer, donate: bool = True):
         mesh=mesh,
         in_specs=(rep, rep, rep, batch_specs, rep),
         out_specs=(rep, rep, rep, rep),
+        axis_names={"data", "view"},  # "depth" stays automatic (GSPMD slabs)
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0, 1, 2) if donate else ())
@@ -197,6 +198,7 @@ def make_grad_step(model, cfg, mesh: Mesh):
         mesh=mesh,
         in_specs=(rep, rep, batch_specs, rep),
         out_specs=(rep, rep, rep),
+        axis_names={"data", "view"},
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -245,6 +247,7 @@ def make_eval_step(model, cfg, mesh: Mesh, tmp=(5.0, 5.0, 5.0, 1.0)):
         mesh=mesh,
         in_specs=(rep, rep, batch_specs),
         out_specs=(P("data"), P("data")),
+        axis_names={"data", "view"},
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -122,3 +122,38 @@ def test_eval_step_runs_on_8dev_mesh():
     assert depth.shape == (2, 64, 64)
     assert conf.shape == (2, 64, 64)
     assert np.isfinite(np.asarray(depth)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_depth_slab_sharded_eval_matches_serial():
+    """data=2 x view=2 x depth=2 mesh: GSPMD depth-slab cost-reg must produce
+    the serial eval result (halo exchange correctness)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    cfg = tiny_cfg(ndepths=[8, 4, 4, 2], norm_type="GN")
+    cfg.vit_args.drop_path_rate = 0.0
+    batch = make_full_batch(rng, B=2, V=5, H=64, W=64)
+
+    serial = build_model(cfg, dtype=jnp.float32)
+    variables = serial.init(
+        jax.random.PRNGKey(0), batch["imgs"][:1, :2],
+        jax.tree.map(lambda x: x[:1, :2], batch["proj_matrices"]),
+        batch["depth_values"][:1], training=False)
+
+    want_depth = serial.apply(
+        variables, batch["imgs"], batch["proj_matrices"], batch["depth_values"],
+        training=False, tmp=[5.0, 5.0, 5.0, 1.0])["refined_depth"]
+
+    mesh = mesh_lib.make_mesh(data=2, view=2, depth=2)
+    model = build_model(
+        cfg, dtype=jnp.float32, axis_name="data", view_axis="view",
+        depth_sharding=NamedSharding(mesh, P(None, "depth")))
+    step = ts.make_eval_step(model, cfg, mesh)
+    split = ts.split_ref_src(batch)
+    for k in ("depth_gt", "mask"):
+        split.pop(k, None)
+    got_depth, _ = step(variables["params"], variables.get("batch_stats", {}), split)
+
+    np.testing.assert_allclose(np.asarray(got_depth), np.asarray(want_depth),
+                               rtol=1e-4, atol=1e-3)
