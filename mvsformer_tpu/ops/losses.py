@@ -282,6 +282,34 @@ def wasserstein_loss_stages(
     return loss_dict
 
 
+def simple_loss(depth_est, depth_gt, mask):
+    """Single-map masked smooth-L1 (losses.py:18-26)."""
+    m = mask > 0.5
+    return _masked_mean(smooth_l1(depth_est.astype(jnp.float32),
+                                  depth_gt.astype(jnp.float32)), m)
+
+
+def bimodal_loss(outputs, depth_gt_ms, mask_ms, depth_interval,
+                 dlossw=(1.0, 1.0, 1.0), stage_keys=("stage1", "stage2", "stage3")):
+    """Two-mode Laplacian mixture NLL (losses.py:165-193, legacy surface)."""
+    itv = depth_interval[:, None, None].astype(jnp.float32)
+    loss_dict = {}
+    for i, key in enumerate(stage_keys):
+        st = outputs[key]
+        gt = depth_gt_ms[key].astype(jnp.float32) / itv
+        d0 = st["depth0"].astype(jnp.float32) / itv
+        d1 = st["depth1"].astype(jnp.float32) / itv
+        s0 = st["sigma0"].astype(jnp.float32)
+        s1 = st["sigma1"].astype(jnp.float32)
+        pi0 = st["pi0"].astype(jnp.float32)
+        pi1 = st["pi1"].astype(jnp.float32)
+        dist0 = pi0 * 0.5 * jnp.exp(-jnp.abs(gt - d0) / s0) / s0
+        dist1 = pi1 * 0.5 * jnp.exp(-jnp.abs(gt - d1) / s1) / s1
+        nll = -jnp.log(dist0 + dist1 + 1e-8)
+        loss_dict[key] = dlossw[i] * _masked_mean(nll, mask_ms[key] > 0.5)
+    return loss_dict
+
+
 def total_loss(
     outputs: dict,
     depth_gt_ms: dict,

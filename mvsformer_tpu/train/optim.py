@@ -36,6 +36,30 @@ def warmup_cosine_schedule(base_lr: float, warmup_steps: int, total_steps: int,
     return fn
 
 
+def warmup_multistep_schedule(base_lr: float, milestones, gamma: float = 0.1,
+                              warmup_factor: float = 1.0 / 3,
+                              warmup_iters: int = 500,
+                              warmup_method: str = "linear"):
+    """Step-decay schedule with warmup (reference utils.py:238-282
+    WarmupMultiStepLR; the secondary scheduler surface)."""
+    milestones = tuple(sorted(milestones))
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        if warmup_method == "constant":
+            wf = jnp.where(step < warmup_iters, warmup_factor, 1.0)
+        else:
+            alpha = step / max(1, warmup_iters)
+            wf = jnp.where(step < warmup_iters,
+                           warmup_factor * (1 - alpha) + alpha, 1.0)
+        decay = jnp.asarray(1.0, jnp.float32)
+        for m in milestones:
+            decay = decay * jnp.where(step >= m, gamma, 1.0)
+        return base_lr * wf * decay
+
+    return fn
+
+
 def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", k)) for k in path)
 

@@ -31,7 +31,7 @@ from mvsformer_tpu.utils import metrics as metric_lib
 
 class Trainer:
     def __init__(self, cfg: Config, model, mesh, train_loader, val_loader=None,
-                 writer=None, logger=None, is_blended=False):
+                 writer=None, logger=None, is_blended=False, debug=False):
         self.cfg = cfg
         self.model = model
         self.mesh = mesh
@@ -40,6 +40,7 @@ class Trainer:
         self.writer = writer
         self.logger = logger or _PrintLogger()
         self.is_blended = is_blended
+        self.debug = debug  # per-subtree grad inf/nan scan (train.py --debug)
         self.scale_batch_map = {
             int(k): v for k, v in
             (cfg.data.multi_scale_args.scale_batch_map or {}).items()
@@ -129,6 +130,22 @@ class Trainer:
             if n_micro > 1:
                 grads = jax.tree.map(lambda x: x / n_micro, grads)
             self.batch_stats = stats
+            if self.debug:
+                # The reference's fp16 overflow detector scans every layer's
+                # scaled grad for inf/nan (mvsformer_trainer.py:139-155); in
+                # bf16 there is no scaler, but the per-subtree scan remains a
+                # numerical canary.
+                for name, sub in self.params.items():
+                    gmax = float(
+                        jnp.max(jnp.asarray([
+                            jnp.abs(g).max() for g in jax.tree.leaves(grads[name])
+                        ])))
+                    if not np.isfinite(gmax):
+                        self.logger.info(
+                            f"NONFINITE grad in '{name}' at step {self.global_step}")
+                    if self.writer is not None:
+                        self.writer.add_scalar(f"grads/{name}_max", gmax,
+                                               self.global_step)
             self.params, self.opt_state, gnorm = self._apply_step(
                 self.params, self.opt_state, grads)
             self.global_step += 1
@@ -202,6 +219,19 @@ class Trainer:
         if self.writer is not None:
             for k, v in out.items():
                 self.writer.add_scalar(f"val/{k}", v, epoch)
+            # Normalized pred/gt/conf image grid (utils.py:92-116 save_images).
+            try:
+                def norm_img(x):
+                    x = np.asarray(x[0], np.float32)
+                    lo, hi = np.percentile(x, 2), np.percentile(x, 98)
+                    return np.clip((x - lo) / max(hi - lo, 1e-6), 0, 1)[None]
+
+                self.writer.add_image("val/pred_depth",
+                                      norm_img(depth_est * mask), epoch)
+                self.writer.add_image("val/gt_depth", norm_img(depth_gt), epoch)
+                self.writer.add_image("val/confidence", norm_img(conf), epoch)
+            except Exception:
+                pass
         return out
 
     def train(self, start_epoch: int = 1):

@@ -29,6 +29,8 @@ def main():
     parser.add_argument("--multi_host", action="store_true",
                         help="call jax.distributed.initialize()")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--debug", action="store_true",
+                        help="per-subtree gradient inf/nan scan + TB grad maxima")
     args = parser.parse_args()
 
     import jax
@@ -96,8 +98,11 @@ def main():
         if host_id == 0 else None
     save_config(cfg, os.path.join(run_dir, "config.json"))
 
+    from mvsformer_tpu.utils.logging import setup_logging
+
+    logger = setup_logging(run_dir) if host_id == 0 else None
     trainer = Trainer(cfg, model, mesh, train_loader, val_loader, writer=writer,
-                      is_blended=is_blended)
+                      logger=logger, is_blended=is_blended, debug=args.debug)
     train_loader.set_epoch(0)
     first = next(iter(train_loader))
     trainer.init_state(first)
