@@ -26,6 +26,8 @@ def main():
     parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
     parser.add_argument("--view_parallel", type=int, default=1,
                         help="size of the 'view' mesh axis")
+    parser.add_argument("--depth_parallel", type=int, default=1,
+                        help="size of the 'depth' mesh axis (cost-volume slabs)")
     parser.add_argument("--multi_host", action="store_true",
                         help="call jax.distributed.initialize()")
     parser.add_argument("--seed", type=int, default=0)
@@ -87,10 +89,17 @@ def main():
                            host_id=host_id, num_hosts=num_hosts)
     val_loader.set_epoch(0)
 
-    mesh = mesh_lib.make_mesh(data=-1, view=args.view_parallel, depth=1)
+    mesh = mesh_lib.make_mesh(data=-1, view=args.view_parallel,
+                              depth=args.depth_parallel)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    depth_sharding = None
+    if args.depth_parallel > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        depth_sharding = NamedSharding(mesh, P(None, "depth"))
     model = build_model(cfg.arch, dtype=dtype, axis_name="data",
-                        view_axis="view" if args.view_parallel > 1 else None)
+                        view_axis="view" if args.view_parallel > 1 else None,
+                        depth_sharding=depth_sharding)
 
     run_dir = os.path.join(cfg.trainer.save_dir, "models", cfg.name)
     os.makedirs(run_dir, exist_ok=True)
