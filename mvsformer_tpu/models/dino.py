@@ -269,13 +269,20 @@ class DINOMVSNet(nn.Module):
             sh, sw = feat.shape[2], feat.shape[3]
             projs = proj_matrices[f"stage{stage_idx + 1}"]
             if stage_idx == 0:
-                if cfg.inverse_depth:
+                if cfg.inverse_depth and cfg.clamp_eth3d:
+                    samples = hypotheses.init_inverse_range_clamped(
+                        depth_values, ndepth, sh, sw)
+                elif cfg.inverse_depth:
                     samples = hypotheses.init_inverse_range(depth_values, ndepth, sh, sw)
                 else:
                     samples = hypotheses.init_range(depth_values, ndepth, sh, sw)
             else:
                 prev_depth = jax.lax.stop_gradient(prev["depth"])
-                if cfg.inverse_depth:
+                if cfg.inverse_depth and cfg.clamp_eth3d:
+                    samples = hypotheses.schedule_inverse_range_clamped(
+                        prev_depth, prev["depth_values"], ndepth,
+                        cfg.depth_interals_ratio[stage_idx], sh, sw)
+                elif cfg.inverse_depth:
                     samples = hypotheses.schedule_inverse_range(
                         prev_depth, prev["depth_values"], ndepth,
                         cfg.depth_interals_ratio[stage_idx], sh, sw)

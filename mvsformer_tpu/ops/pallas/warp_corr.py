@@ -92,8 +92,10 @@ def _kernel(
     gi = jax.lax.broadcasted_iota(jnp.int32, (C, G), 1)
     gmat = ((ci // cg) == gi).astype(jnp.float32) / float(cg)
 
-    # x-interpolation for the whole row-block as ONE MXU matmul.
-    wx = jnp.maximum(1.0 - jnp.abs(pxf - j_abs), 0.0)  # [RX, JT]
+    # x-interpolation for the whole row-block as ONE MXU matmul. When the
+    # band is bf16, the tent weights are quantized to bf16 too (native-MXU
+    # path; ~2^-8 relative weight error) with fp32 accumulation.
+    wx = jnp.maximum(1.0 - jnp.abs(pxf - j_abs), 0.0).astype(band.dtype)
     p = jax.lax.dot_general(
         wx, band,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -120,7 +122,7 @@ def _pad_to(x, size, axis):
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "band_rows", "band_cols",
-                                             "want_invalid"))
+                                             "want_invalid", "bf16_band"))
 def plane_sweep_group_corr(
     ref_fea,  # [B, H, W, C]
     src_fea,  # [B, H, W, C]
@@ -131,6 +133,7 @@ def plane_sweep_group_corr(
     band_rows: int = 16,
     band_cols: int = 384,
     want_invalid: bool = True,
+    bf16_band: bool = False,
 ):
     """Fused warp + G-group correlation for ONE source view.
 
@@ -187,6 +190,8 @@ def plane_sweep_group_corr(
     # are 128-aligned lane slices of the in-VMEM band.
     max_x0 = (W // 128) * 128
     WSRC = max_x0 + JT
+    if bf16_band:
+        src_fea = src_fea.astype(jnp.bfloat16)
     src_hcw = jnp.transpose(src_fea, (0, 1, 3, 2))  # [B, H, C, W]
     src_hcw = _pad_to(_pad_to(src_hcw, H + K, 1), WSRC, 3)
 
