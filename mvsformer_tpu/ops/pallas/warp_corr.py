@@ -44,13 +44,13 @@ XT = 128  # output columns per grid step (lane tile)
 def _kernel(
     y_start_ref,  # scalar-prefetch [B*D*HB] i32
     x_start_ref,  # scalar-prefetch [B*D*HB*NXT] i32
-    pxt_ref,  # [1, 1, 1, 1, RX] f32 (tile-flattened lanes)
-    pyt_ref,  # [1, 1, 1, 1, RX] f32
+    pxt_ref,  # [1, DP, 1, 1, RX] f32 (tile-flattened lanes)
+    pyt_ref,  # [1, DP, 1, 1, RX] f32
     ref_ref,  # [1, ROWS, XT, C]
     src_ref,  # [1, H+K, C, WSRC] (HBM; manual DMA)
-    out_ref,  # [1, 1, ROWS, XT, G] f32
-    band_ref,  # scratch [K, C, WSRC]
-    sem,  # DMA semaphore
+    out_ref,  # [1, DP, ROWS, XT, G] f32
+    band_ref,  # scratch [DP, K, C, WSRC]
+    sem,  # DMA semaphores [DP]
     *,
     K: int,
     JT: int,
@@ -58,58 +58,71 @@ def _kernel(
     G: int,
     HB: int,
     NXT: int,
+    DP: int,
 ):
     b = pl.program_id(0)
-    d = pl.program_id(1)
+    dblk = pl.program_id(1)
     hb = pl.program_id(2)
     xt = pl.program_id(3)
-
-    flat_row = (b * pl.num_programs(1) + d) * HB + hb
-    y0 = y_start_ref[flat_row]
-    x0 = pl.multiple_of(x_start_ref[flat_row * NXT + xt], 128)
+    D = pl.num_programs(1) * DP
 
     # One full-width band DMA per (d, row-block), reused by all x-tiles.
+    # DP depth planes share a grid step to amortize fixed per-step costs.
     @pl.when(xt == 0)
     def _():
-        dma = pltpu.make_async_copy(src_ref.at[0, pl.ds(y0, K)], band_ref, sem)
-        dma.start()
-        dma.wait()
-
-    # One lane->sublane relayout per array per step (a [1,RX] transpose);
-    # storing the columns directly would cost 16x HBM padding on the input.
-    pxf = pxt_ref[0, 0, 0].reshape(1, -1).T  # [RX, 1]
-    pyf = pyt_ref[0, 0, 0].reshape(1, -1).T
-
-    j_abs = x0.astype(jnp.float32) + jax.lax.broadcasted_iota(
-        jnp.int32, (1, JT), 1).astype(jnp.float32)
-    k_abs = y0.astype(jnp.float32) + jax.lax.broadcasted_iota(
-        jnp.int32, (1, K), 1).astype(jnp.float32)
-
-    band = band_ref[:, :, pl.ds(x0, JT)].reshape(K * C, JT)
+        for dp in range(DP):
+            flat_row = (b * D + dblk * DP + dp) * HB + hb
+            y0 = y_start_ref[flat_row]
+            pltpu.make_async_copy(
+                src_ref.at[0, pl.ds(y0, K)], band_ref.at[dp], sem.at[dp]
+            ).start()
+        for dp in range(DP):
+            flat_row = (b * D + dblk * DP + dp) * HB + hb
+            y0 = y_start_ref[flat_row]
+            pltpu.make_async_copy(
+                src_ref.at[0, pl.ds(y0, K)], band_ref.at[dp], sem.at[dp]
+            ).wait()
 
     cg = C // G
     ci = jax.lax.broadcasted_iota(jnp.int32, (C, G), 0)
     gi = jax.lax.broadcasted_iota(jnp.int32, (C, G), 1)
     gmat = ((ci // cg) == gi).astype(jnp.float32) / float(cg)
-
-    # x-interpolation for the whole row-block as ONE MXU matmul. When the
-    # band is bf16, the tent weights are quantized to bf16 too (native-MXU
-    # path; ~2^-8 relative weight error) with fp32 accumulation.
-    wx = jnp.maximum(1.0 - jnp.abs(pxf - j_abs), 0.0).astype(band.dtype)
-    p = jax.lax.dot_general(
-        wx, band,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [RX, K*C]
-    # y-combine on the VPU.
-    wy = jnp.maximum(1.0 - jnp.abs(pyf - k_abs), 0.0)  # [RX, K]
-    warped = jnp.zeros((ROWS * XT, C), jnp.float32)
-    for k in range(K):
-        warped = warped + wy[:, k:k + 1] * p[:, k * C:(k + 1) * C]
     refblk = ref_ref[0].reshape(ROWS * XT, C).astype(jnp.float32)
-    corr = jnp.dot(refblk * warped, gmat,
-                   preferred_element_type=jnp.float32)  # [RX, G]
-    out_ref[0, 0] = corr.reshape(ROWS, XT, G)
+
+    for dp in range(DP):
+        flat_row = (b * D + dblk * DP + dp) * HB + hb
+        y0 = y_start_ref[flat_row]
+        x0 = pl.multiple_of(x_start_ref[flat_row * NXT + xt], 128)
+
+        # One lane->sublane relayout per array (a [1,RX] transpose); storing
+        # columns directly would cost 16x HBM padding on the input.
+        pxf = pxt_ref[0, dp, 0].reshape(1, -1).T  # [RX, 1]
+        pyf = pyt_ref[0, dp, 0].reshape(1, -1).T
+
+        j_abs = x0.astype(jnp.float32) + jax.lax.broadcasted_iota(
+            jnp.int32, (1, JT), 1).astype(jnp.float32)
+        k_abs = y0.astype(jnp.float32) + jax.lax.broadcasted_iota(
+            jnp.int32, (1, K), 1).astype(jnp.float32)
+
+        band = band_ref[dp, :, :, pl.ds(x0, JT)].reshape(K * C, JT)
+
+        # x-interpolation for the whole row-block as ONE MXU matmul. When the
+        # band is bf16, the tent weights are quantized to bf16 too (native-MXU
+        # path; ~2^-8 relative weight error) with fp32 accumulation.
+        wx = jnp.maximum(1.0 - jnp.abs(pxf - j_abs), 0.0).astype(band.dtype)
+        p = jax.lax.dot_general(
+            wx, band,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [RX, K*C]
+        # y-combine on the VPU.
+        wy = jnp.maximum(1.0 - jnp.abs(pyf - k_abs), 0.0)  # [RX, K]
+        warped = jnp.zeros((ROWS * XT, C), jnp.float32)
+        for k in range(K):
+            warped = warped + wy[:, k:k + 1] * p[:, k * C:(k + 1) * C]
+        corr = jnp.dot(refblk * warped, gmat,
+                       preferred_element_type=jnp.float32)  # [RX, G]
+        out_ref[0, dp] = corr.reshape(ROWS, XT, G)
 
 
 def _pad_to(x, size, axis):
@@ -217,8 +230,17 @@ def plane_sweep_group_corr(
     else:
         invalid = None
 
-    grid = (B, D, HB, NXT)
-    kernel = functools.partial(_kernel, K=K, JT=JT, C=C, G=G, HB=HB, NXT=NXT)
+    # Depth planes per grid step: amortizes fixed per-step costs; bounded by
+    # a VMEM budget for the DP band slots.
+    band_bytes = K * C * WSRC * (2 if bf16_band else 4)
+    DP = 1
+    for cand in (4, 2):
+        if D % cand == 0 and cand * band_bytes <= 6 * 1024 * 1024:
+            DP = cand
+            break
+    grid = (B, D // DP, HB, NXT)
+    kernel = functools.partial(_kernel, K=K, JT=JT, C=C, G=G, HB=HB, NXT=NXT,
+                               DP=DP)
 
     out = pl.pallas_call(
         kernel,
@@ -226,10 +248,10 @@ def plane_sweep_group_corr(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, 1, 1, RX),
+                pl.BlockSpec((1, DP, 1, 1, RX),
                              lambda b, d, h, x, *_: (b, d, h * NXT + x, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 1, 1, RX),
+                pl.BlockSpec((1, DP, 1, 1, RX),
                              lambda b, d, h, x, *_: (b, d, h * NXT + x, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, ROWS, XT, C),
@@ -237,12 +259,12 @@ def plane_sweep_group_corr(
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec((1, 1, ROWS, XT, G),
+            out_specs=pl.BlockSpec((1, DP, ROWS, XT, G),
                                    lambda b, d, h, x, *_: (b, d, h, x, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((K, C, WSRC), src_fea.dtype),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((DP, K, C, WSRC), src_fea.dtype),
+                pltpu.SemaphoreType.DMA((DP,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, D, Hp, Wp, G), jnp.float32),
