@@ -10,6 +10,7 @@ run.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -19,6 +20,13 @@ import numpy as np
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--profile", default=None,
+                        help="write a jax.profiler trace to this directory")
+    parser.add_argument("--no_fused", action="store_true",
+                        help="disable the Pallas fused warp kernel")
+    args, _ = parser.parse_known_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -37,6 +45,8 @@ def main():
         iters, warmup = 2, 1
 
     cfg = ModelConfig()
+    if args.no_fused:
+        cfg.use_fused_warp = False
     model = build_model(cfg, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
@@ -79,10 +89,14 @@ def main():
 
     for _ in range(warmup):
         run_once()
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
     t0 = time.perf_counter()
     for _ in range(iters):
         run_once()
     dt = (time.perf_counter() - t0) / iters
+    if args.profile:
+        jax.profiler.stop_trace()
 
     value = B / dt  # depth maps per second per chip
     print(json.dumps({
