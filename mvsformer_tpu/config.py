@@ -51,7 +51,7 @@ class ModelConfig:
     multi_scale: bool = False
     norm_type: str = "BN"  # BN | GN — GN avoids cross-replica stat sync on TPU
     use_fused_warp: bool = True  # Pallas warp+corr kernel on the eval path
-    fused_band_rows: int = 16  # y-band height K of the fused kernel
+    fused_band_rows: int = 12  # y-band height K (>= ROWS+1+epipolar tilt)
     clamp_eth3d: bool = False  # ETH3D clamped inverse-depth schedulers
     vit_args: ViTConfig = field(default_factory=ViTConfig)
 

@@ -143,7 +143,7 @@ def plane_sweep_group_corr(
     ref_proj,  # [B, 4, 4] composed
     depth_values,  # [B, D, H, W] or [B, D]
     groups: int = 8,
-    band_rows: int = 16,
+    band_rows: int = 12,
     band_cols: int = 384,
     want_invalid: bool = True,
     bf16_band: bool = False,
