@@ -77,10 +77,10 @@ def main():
                           imgs, projs, dv, training=False, tmp=[5.0, 5.0, 5.0, 1.0])
         return out["refined_depth"], out["photometric_confidence"]
 
-    args = (variables["params"], variables.get("batch_stats", {}), imgs, projs, dv)
+    fwd_args = (variables["params"], variables.get("batch_stats", {}), imgs, projs, dv)
 
     def run_once():
-        out = forward(*args)
+        out = forward(*fwd_args)
         jax.block_until_ready(out)
         # Force a device->host readback: on experimental/tunneled platforms
         # block_until_ready can return before execution completes, which would
