@@ -13,7 +13,6 @@ step compiles once per (crop_h, crop_w) bucket. Samples are returned NHWC.
 from __future__ import annotations
 
 import os
-import random as pyrandom
 
 import numpy as np
 

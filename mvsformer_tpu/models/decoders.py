@@ -8,7 +8,7 @@ variant decoders with CLS-attention gating) and AttentionFusionSimple.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -15,7 +15,6 @@ bernoulli draw per (sample, block) — same semantics as timm DropPath.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Sequence
 
 import jax

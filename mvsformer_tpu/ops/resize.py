@@ -9,7 +9,6 @@ one axis at a time — each pass is a static-shape gather that XLA fuses well.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -13,9 +13,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any
 
-import jax
 import numpy as np
 import orbax.checkpoint as ocp
 

@@ -14,7 +14,6 @@ groups).
 
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import jax

@@ -14,14 +14,12 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mvsformer_tpu.config import Config
-from mvsformer_tpu.ops import losses as loss_lib
 from mvsformer_tpu.parallel import train_step as ts
 from mvsformer_tpu.train.checkpoint import CheckpointManager
 from mvsformer_tpu.train.meters import DictAverageMeter
