@@ -212,6 +212,16 @@ class Trainer:
                     depth_est, depth_gt, mask, di).items()}
             meter.update(scalars)
         out = meter.mean()
+        # Cross-host metric reduction (the reference's dist.all_reduce /
+        # world_size at mvsformer_trainer.py:202-212).
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            keys = sorted(out)
+            stacked = multihost_utils.process_allgather(
+                jnp.asarray([out[k] for k in keys]))
+            mean = np.asarray(stacked).mean(axis=0)
+            out = {k: float(v) for k, v in zip(keys, mean)}
         out["mean_error"] = (out["thres2mm_error"] + out["thres4mm_error"]
                              + out["thres8mm_error"] + out["thres14mm_error"]) / 4.0
         if self.writer is not None:
