@@ -53,6 +53,7 @@ class ModelConfig:
     use_fused_warp: bool = True  # Pallas warp+corr kernel on the eval path
     fused_band_rows: int = 12  # y-band height K (>= ROWS+1+epipolar tilt)
     clamp_eth3d: bool = False  # ETH3D clamped inverse-depth schedulers
+    remat_backbone: bool = False  # jax.checkpoint the ViT (train-memory valve)
     vit_args: ViTConfig = field(default_factory=ViTConfig)
 
 

@@ -231,7 +231,12 @@ class DINOMVSNet(nn.Module):
         vit_w = int(imgs.shape[2] * va.rescale)
         vit_imgs = resize_bicubic(imgs.astype(jnp.float32), (vit_h, vit_w),
                                   spatial_axes=(1, 2)).astype(self.dtype)
-        tokens, att = self.vit(vit_imgs, deterministic=not training or cfg.fix)
+        det = not training or cfg.fix
+        if cfg.remat_backbone and training and not cfg.fix:
+            tokens, att = nn.remat(
+                lambda mdl, xi: mdl(xi, deterministic=det))(self.vit, vit_imgs)
+        else:
+            tokens, att = self.vit(vit_imgs, deterministic=det)
         if cfg.fix:
             tokens = jax.lax.stop_gradient(tokens)
             att = jax.lax.stop_gradient(att)

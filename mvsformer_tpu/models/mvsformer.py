@@ -72,11 +72,10 @@ class TwinMVSNet(nn.Module):
             "alt_gvt_base": twins_lib.alt_gvt_base,
             "alt_gvt_large": twins_lib.alt_gvt_large,
         }[arch]
+        kwargs = {}
         if cfg.vit_args.drop_path_rate is not None:
-            self.vit = builder(dtype=self.dtype,
-                               drop_path_rate=cfg.vit_args.drop_path_rate)
-        else:
-            self.vit = builder(dtype=self.dtype)
+            kwargs["drop_path_rate"] = cfg.vit_args.drop_path_rate
+        self.vit = builder(dtype=self.dtype, **kwargs)
         self.fusions = [
             StageNet(
                 ndepth=cfg.ndepths[i], stage_idx=i, base_ch=cfg.base_ch,
@@ -99,7 +98,16 @@ class TwinMVSNet(nn.Module):
         vit_w = int(imgs.shape[2] * cfg.vit_args.rescale)
         vit_imgs = resize_bicubic(imgs.astype(jnp.float32), (vit_h, vit_w),
                                   spatial_axes=(1, 2)).astype(self.dtype)
-        vit_feats = self.vit(vit_imgs, deterministic=not training or cfg.fix)
+        det = not training or cfg.fix
+        if cfg.remat_backbone and training and not cfg.fix:
+            # Rematerialize the backbone in the backward pass: the TPU-native
+            # replacement for the reference's eval-time view loop as the
+            # memory valve (trades backbone recompute for activation memory
+            # at large multi-scale crops).
+            vit_feats = nn.remat(
+                lambda mdl, xi: mdl(xi, deterministic=det))(self.vit, vit_imgs)
+        else:
+            vit_feats = self.vit(vit_imgs, deterministic=det)
         if cfg.fix:
             vit_feats = [jax.lax.stop_gradient(v) for v in vit_feats]
         if cfg.multi_scale:

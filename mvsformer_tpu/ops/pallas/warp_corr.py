@@ -64,24 +64,50 @@ def _kernel(
     dblk = pl.program_id(1)
     hb = pl.program_id(2)
     xt = pl.program_id(3)
-    D = pl.num_programs(1) * DP
+    NDBLK = pl.num_programs(1)
+    D = NDBLK * DP
 
-    # One full-width band DMA per (d, row-block), reused by all x-tiles.
-    # DP depth planes share a grid step to amortize fixed per-step costs.
+    # Band DMAs are double-buffered across (d-block, row-block) steps: while
+    # the x-tiles of step n compute from slot n%2, the bands for step n+1
+    # stream into slot (n+1)%2. DP depth planes share a grid step to amortize
+    # fixed per-step costs.
+    n_step = dblk * HB + hb
+    slot = jax.lax.rem(n_step, 2)
+
+    def issue(step_idx, slot_idx):
+        dd = step_idx // HB
+        hh = jax.lax.rem(step_idx, HB)
+        for dp in range(DP):
+            flat_row = (b * D + dd * DP + dp) * HB + hh
+            y0 = y_start_ref[flat_row]
+            pltpu.make_async_copy(
+                src_ref.at[0, pl.ds(y0, K)],
+                band_ref.at[slot_idx, dp],
+                sem.at[slot_idx, dp],
+            ).start()
+
+    def wait(step_idx, slot_idx):
+        dd = step_idx // HB
+        hh = jax.lax.rem(step_idx, HB)
+        for dp in range(DP):
+            flat_row = (b * D + dd * DP + dp) * HB + hh
+            y0 = y_start_ref[flat_row]
+            pltpu.make_async_copy(
+                src_ref.at[0, pl.ds(y0, K)],
+                band_ref.at[slot_idx, dp],
+                sem.at[slot_idx, dp],
+            ).wait()
+
     @pl.when(xt == 0)
     def _():
-        for dp in range(DP):
-            flat_row = (b * D + dblk * DP + dp) * HB + hb
-            y0 = y_start_ref[flat_row]
-            pltpu.make_async_copy(
-                src_ref.at[0, pl.ds(y0, K)], band_ref.at[dp], sem.at[dp]
-            ).start()
-        for dp in range(DP):
-            flat_row = (b * D + dblk * DP + dp) * HB + hb
-            y0 = y_start_ref[flat_row]
-            pltpu.make_async_copy(
-                src_ref.at[0, pl.ds(y0, K)], band_ref.at[dp], sem.at[dp]
-            ).wait()
+        @pl.when(n_step == 0)
+        def _():
+            issue(n_step, slot)
+        wait(n_step, slot)
+
+        @pl.when(n_step + 1 < NDBLK * HB)
+        def _():
+            issue(n_step + 1, 1 - slot)
 
     cg = C // G
     ci = jax.lax.broadcasted_iota(jnp.int32, (C, G), 0)
@@ -104,7 +130,7 @@ def _kernel(
         k_abs = y0.astype(jnp.float32) + jax.lax.broadcasted_iota(
             jnp.int32, (1, K), 1).astype(jnp.float32)
 
-        band = band_ref[dp, :, :, pl.ds(x0, JT)].reshape(K * C, JT)
+        band = band_ref[slot, dp, :, :, pl.ds(x0, JT)].reshape(K * C, JT)
 
         # x-interpolation for the whole row-block as ONE MXU matmul. When the
         # band is bf16, the tent weights are quantized to bf16 too (native-MXU
@@ -263,8 +289,8 @@ def plane_sweep_group_corr(
                                    lambda b, d, h, x, *_: (b, d, h, x, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((DP, K, C, WSRC), src_fea.dtype),
-                pltpu.SemaphoreType.DMA((DP,)),
+                pltpu.VMEM((2, DP, K, C, WSRC), src_fea.dtype),
+                pltpu.SemaphoreType.DMA((2, DP)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((B, D, Hp, Wp, G), jnp.float32),
