@@ -304,3 +304,233 @@ def plane_sweep_group_corr(
       refp.astype(src_fea.dtype), src_hcw)
 
     return out[:, :, :H, :W], invalid
+
+
+# ---------------------------------------------------------------------------
+# v2 orientation: channels-in-sublanes, pixels-in-lanes — transpose-free.
+#
+# The v1 kernel spends a large fixed cost per depth-plane on [1,RX] lane->
+# sublane relayouts of the coordinate vectors (they must sit in sublanes to be
+# the matmul's M dim). v2 flips the contraction: W^T [JT, XT] is built with
+# px kept in LANES (j iota runs along sublanes), the band contracts from the
+# left (band2 [K*C, JT] @ WxT -> P [K*C, XT]), the reference arrives
+# pre-transposed in HCW like the source, and the output is emitted as
+# [B, D, H, G, W] with a single XLA transpose at the end.
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v2(
+    y_start_ref,  # scalar-prefetch [B*D*HB] i32
+    x_start_ref,  # scalar-prefetch [B*D*HB*NXT] i32
+    px_ref,  # [1, DP, ROWS, XT] f32
+    py_ref,  # [1, DP, ROWS, XT] f32
+    ref_ref,  # [1, ROWS, C, XT] (HCW tile)
+    src_ref,  # [1, H+K, C, WSRC] (HBM; manual DMA)
+    out_ref,  # [1, DP, ROWS, G, XT] f32
+    band_ref,  # scratch [2, DP, K, C, WSRC]
+    sem,  # DMA semaphores [2, DP]
+    *,
+    K: int,
+    JT: int,
+    C: int,
+    G: int,
+    HB: int,
+    NXT: int,
+    DP: int,
+):
+    b = pl.program_id(0)
+    dblk = pl.program_id(1)
+    hb = pl.program_id(2)
+    xt = pl.program_id(3)
+    NDBLK = pl.num_programs(1)
+    D = NDBLK * DP
+
+    n_step = dblk * HB + hb
+    slot = jax.lax.rem(n_step, 2)
+
+    def dma(step_idx, slot_idx, dp):
+        dd = step_idx // HB
+        hh = jax.lax.rem(step_idx, HB)
+        flat_row = (b * D + dd * DP + dp) * HB + hh
+        y0 = y_start_ref[flat_row]
+        return pltpu.make_async_copy(
+            src_ref.at[0, pl.ds(y0, K)], band_ref.at[slot_idx, dp],
+            sem.at[slot_idx, dp])
+
+    @pl.when(xt == 0)
+    def _():
+        @pl.when(n_step == 0)
+        def _():
+            for dp in range(DP):
+                dma(n_step, slot, dp).start()
+        for dp in range(DP):
+            dma(n_step, slot, dp).wait()
+
+        @pl.when(n_step + 1 < NDBLK * HB)
+        def _():
+            for dp in range(DP):
+                dma(n_step + 1, 1 - slot, dp).start()
+
+    cg = C // G
+    gi = jax.lax.broadcasted_iota(jnp.int32, (G, C), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (G, C), 1)
+    gmat_t = ((ci // cg) == gi).astype(jnp.float32) / float(cg)  # [G, C]
+
+    for dp in range(DP):
+        flat_row = (b * D + dblk * DP + dp) * HB + hb
+        y0 = y_start_ref[flat_row]
+        x0 = pl.multiple_of(x_start_ref[flat_row * NXT + xt], 128)
+
+        j_abs = x0.astype(jnp.float32) + jax.lax.broadcasted_iota(
+            jnp.int32, (JT, 1), 0).astype(jnp.float32)
+        k_abs = y0.astype(jnp.float32) + jax.lax.broadcasted_iota(
+            jnp.int32, (K, 1), 0).astype(jnp.float32)
+
+        band2 = band_ref[slot, dp, :, :, pl.ds(x0, JT)].reshape(K * C, JT)
+
+        for r in range(ROWS):
+            px_r = px_ref[0, dp, 0, r].reshape(1, XT)
+            py_r = py_ref[0, dp, 0, r].reshape(1, XT)
+            wxt = jnp.maximum(1.0 - jnp.abs(j_abs - px_r), 0.0)  # [JT, XT]
+            p = jax.lax.dot_general(
+                band2, wxt.astype(band2.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [K*C, XT]
+            wy = jnp.maximum(1.0 - jnp.abs(k_abs - py_r), 0.0)  # [K, XT]
+            warped = jnp.zeros((C, XT), jnp.float32)
+            for k in range(K):
+                warped = warped + wy[k:k + 1] * p[k * C:(k + 1) * C]
+            prod = ref_ref[0, r].astype(jnp.float32) * warped  # [C, XT]
+            corr = jax.lax.dot_general(
+                gmat_t, prod,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, XT]
+            out_ref[0, dp, r] = corr
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "band_rows", "band_cols",
+                                             "want_invalid", "bf16_band"))
+def plane_sweep_group_corr_v2(
+    ref_fea,  # [B, H, W, C]
+    src_fea,  # [B, H, W, C]
+    src_proj,  # [B, 4, 4] composed
+    ref_proj,  # [B, 4, 4] composed
+    depth_values,  # [B, D, H, W] or [B, D]
+    groups: int = 8,
+    band_rows: int = 12,
+    band_cols: int = 384,
+    want_invalid: bool = True,
+    bf16_band: bool = False,
+):
+    """Transpose-free variant of plane_sweep_group_corr (same contract)."""
+    from mvsformer_tpu.ops.geometry import plane_sweep_coords
+
+    B, H, W, C = ref_fea.shape
+    D = depth_values.shape[1]
+    K, JT = band_rows, band_cols
+    G = groups
+
+    px, py, invalid = plane_sweep_coords(
+        src_proj.astype(jnp.float32), ref_proj.astype(jnp.float32),
+        depth_values.astype(jnp.float32), H, W)
+    px = jax.lax.stop_gradient(px).reshape(B, D, H, W)
+    py = jax.lax.stop_gradient(py).reshape(B, D, H, W)
+
+    Hp = -(-H // ROWS) * ROWS
+    Wp = -(-W // XT) * XT
+    HB = Hp // ROWS
+    NXT = Wp // XT
+
+    def edge_pad(x, target, axis):
+        pad = target - x.shape[axis]
+        if pad <= 0:
+            return x
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (0, pad)
+        return jnp.pad(x, cfg, mode="edge")
+
+    pxp = edge_pad(edge_pad(px, Hp, 2), Wp, 3)
+    pyp = edge_pad(edge_pad(py, Hp, 2), Wp, 3)
+
+    if bf16_band:
+        src_fea = src_fea.astype(jnp.bfloat16)
+        ref_fea = ref_fea.astype(jnp.bfloat16)
+    max_x0 = (W // 128) * 128
+    WSRC = max_x0 + JT
+    src_hcw = jnp.transpose(src_fea, (0, 1, 3, 2))  # [B, H, C, W]
+    src_hcw = _pad_to(_pad_to(src_hcw, H + K, 1), WSRC, 3)
+    ref_hcw = jnp.transpose(ref_fea, (0, 1, 3, 2))
+    ref_hcw = _pad_to(_pad_to(ref_hcw, Hp, 1), Wp, 3)
+
+    py_blk = pyp.reshape(B, D, HB, ROWS, Wp)
+    y_min = jnp.floor(py_blk.min(axis=(3, 4))).astype(jnp.int32)
+    y_start = jnp.clip(y_min, 0, H)
+    px_blk = pxp.reshape(B, D, HB, ROWS, NXT, XT)
+    x_min = jnp.floor(px_blk.min(axis=(3, 5))).astype(jnp.int32)
+    x_start = jnp.clip((x_min // 128) * 128, 0, max_x0)
+
+    if want_invalid:
+        y_hi = y_start.astype(jnp.float32)[:, :, :, None, None] + (K - 1)
+        y_lo = y_start.astype(jnp.float32)[:, :, :, None, None]
+        oob_y = (py_blk < y_lo) | (py_blk > y_hi)
+        oob_y = oob_y.reshape(B, D, Hp, Wp)[:, :, :H, :W]
+        x_hi = x_start.astype(jnp.float32)[:, :, :, None, :, None] + (JT - 1)
+        x_lo = x_start.astype(jnp.float32)[:, :, :, None, :, None]
+        oob_x = (px_blk < x_lo) | (px_blk > x_hi)
+        oob_x = oob_x.reshape(B, D, Hp, Wp)[:, :, :H, :W]
+        invalid = invalid | oob_x | oob_y
+    else:
+        invalid = None
+
+    band_bytes = K * C * WSRC * (2 if bf16_band else 4)
+    DP = 1
+    for cand in (4, 2):
+        if D % cand == 0 and 2 * cand * band_bytes <= 12 * 1024 * 1024:
+            DP = cand
+            break
+    grid = (B, D // DP, HB, NXT)
+    kernel = functools.partial(_kernel_v2, K=K, JT=JT, C=C, G=G, HB=HB,
+                               NXT=NXT, DP=DP)
+
+    # px/py tiles in their natural [.., ROWS, XT] layout (lanes = x).
+    px5 = pxp.reshape(B, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
+    px5 = px5.reshape(B, D, HB * NXT, ROWS, XT)
+    py5 = pyp.reshape(B, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
+    py5 = py5.reshape(B, D, HB * NXT, ROWS, XT)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, DP, 1, ROWS, XT),
+                             lambda b, d, h, x, *_: (b, d, h * NXT + x, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, DP, 1, ROWS, XT),
+                             lambda b, d, h, x, *_: (b, d, h * NXT + x, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ROWS, C, XT),
+                             lambda b, d, h, x, *_: (b, h, 0, x),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, DP, ROWS, G, XT),
+                                   lambda b, d, h, x, *_: (b, d, h, 0, x),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, DP, K, C, WSRC), src_fea.dtype),
+                pltpu.SemaphoreType.DMA((2, DP)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, D, Hp, G, Wp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(y_start.reshape(-1), x_start.reshape(-1), px5, py5, ref_hcw, src_hcw)
+
+    out = jnp.transpose(out[:, :, :H, :, :W], (0, 1, 2, 4, 3))
+    return out, invalid
