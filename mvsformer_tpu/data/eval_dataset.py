@@ -22,7 +22,8 @@ from mvsformer_tpu.utils.pfm import read_pfm
 class MVSEvalDataset:
     def __init__(self, datapath, listfile, nviews=5, ndepths=192,
                  interval_scale=1.06, max_h=864, max_w=1152, fix_res=False,
-                 dataset="dtu", refine=True, use_short_range=False, **kwargs):
+                 dataset="dtu", refine=True, use_short_range=False,
+                 iterative=False, **kwargs):
         self.datapath = datapath
         self.nviews = nviews
         self.ndepths = ndepths
@@ -32,6 +33,8 @@ class MVSEvalDataset:
         self.dataset = dataset
         self.refine = refine
         self.use_short_range = use_short_range
+        self.iterative = iterative  # iterative-inference proj scaling
+                                    # (general_eval.py:226-246)
         self.s_h = self.s_w = None
 
         if isinstance(listfile, (list, tuple)):
@@ -145,14 +148,24 @@ class MVSEvalDataset:
             p[:, 1, :2, :] = proj_stack[:, 1, :2, :] * f
             return p
 
-        proj_ms = {
-            "stage1": scaled(0.5),  # K/8 of the resized input
-            "stage2": scaled(1.0),  # K/4
-            "stage3": scaled(2.0),  # K/2
-            "stage4": scaled(4.0),  # K
-        }
-        if self.refine:
-            proj_ms["stage5"] = scaled(4.0)
+        if self.iterative:
+            proj_ms = {
+                "stage1": scaled(0.25),
+                "stage2": scaled(0.5),
+                "stage3": scaled(1.0),
+                "stage4": scaled(2.0),
+            }
+            if self.refine:
+                proj_ms["stage5"] = scaled(4.0)
+        else:
+            proj_ms = {
+                "stage1": scaled(0.5),  # K/8 of the resized input
+                "stage2": scaled(1.0),  # K/4
+                "stage3": scaled(2.0),  # K/2
+                "stage4": scaled(4.0),  # K
+            }
+            if self.refine:
+                proj_ms["stage5"] = scaled(4.0)
 
         sample = {
             "imgs": np.stack(imgs).astype(np.float32),
