@@ -54,6 +54,7 @@ class ModelConfig:
     fused_band_rows: int = 12  # y-band height K (>= ROWS+1+epipolar tilt)
     clamp_eth3d: bool = False  # ETH3D clamped inverse-depth schedulers
     remat_backbone: bool = False  # jax.checkpoint the ViT (train-memory valve)
+    fused_variant: int = 1  # 1 = row-batched matmul, 2 = transpose-free
     vit_args: ViTConfig = field(default_factory=ViTConfig)
 
 

@@ -84,6 +84,7 @@ class TwinMVSNet(nn.Module):
                 dtype=self.dtype, axis_name=self.axis_name, view_axis=self.view_axis,
                 use_fused_warp=cfg.use_fused_warp and fused_ok(),
                 fused_band_rows=cfg.fused_band_rows,
+                fused_variant=cfg.fused_variant,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",
             )

@@ -60,7 +60,8 @@ class StageNet(nn.Module):
     axis_name: str | None = None  # batch axis (BN sync)
     view_axis: str | None = None  # mesh axis the source views are sharded over
     use_fused_warp: bool = False  # Pallas fused warp+corr (eval path, TPU)
-    fused_band_rows: int = 16
+    fused_band_rows: int = 12
+    fused_variant: int = 1  # 1 = row-batched matmul, 2 = transpose-free
     # Optional NamedSharding for depth-hypothesis-slab sharding of the cost
     # volume over the mesh's "depth" axis. The constraint makes GSPMD shard
     # the 3D cost-regularization U-Net along D (halo exchanges for the 3x3x3
@@ -107,9 +108,12 @@ class StageNet(nn.Module):
         for v in range(Vs):
             src_proj_full = geometry.compose_projection(src_projs[:, v].astype(jnp.float32))
             if fused:
-                from mvsformer_tpu.ops.pallas.warp_corr import plane_sweep_group_corr
+                from mvsformer_tpu.ops.pallas import warp_corr as wc
 
-                corr, invalid = plane_sweep_group_corr(
+                kernel_fn = (wc.plane_sweep_group_corr_v2
+                             if self.fused_variant == 2
+                             else wc.plane_sweep_group_corr)
+                corr, invalid = kernel_fn(
                     ref32, src_feats[:, v].astype(jnp.float32), src_proj_full,
                     ref_proj_full, dv32, groups=G,
                     band_rows=self.fused_band_rows,
