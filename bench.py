@@ -29,6 +29,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the tunneled-TPU backend pays minutes per
+    # fresh compile; cached executables make repeat benchmark runs cheap.
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     from mvsformer_tpu.config import ModelConfig
     from mvsformer_tpu.models.mvsformer import build_model
 
