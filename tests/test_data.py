@@ -183,3 +183,30 @@ def test_collate_nested():
     assert c["x"].shape == (2, 2, 3)
     assert c["y"]["z"].shape == (2, 4)
     assert c["s"] == ["f", "g"]
+
+
+def test_eval_dataset_tt_mode(tmp_path):
+    """T&T mode: 4px edge pad, cy+4 intrinsic adjust, no GT."""
+    root = make_eval_tree(str(tmp_path))
+    ds = MVSEvalDataset(root, ["scan1"], nviews=3, ndepths=32,
+                        interval_scale=1.0, max_h=128, max_w=160, dataset="tt")
+    s = ds[0]
+    assert s["imgs"].shape == (3, 128, 160, 3)
+    assert "depth_gt" not in s
+    # cy' = (cy_file + 4)/4 * scale_h * 4 at stage4; padded source height 308
+    cy_file = 600.0
+    scale_h = 128 / 308
+    want_cy = (cy_file + 4) / 4 * scale_h * 4
+    np.testing.assert_allclose(s["proj_matrices"]["stage4"][0, 1, 1, 2], want_cy,
+                               rtol=1e-5)
+
+
+def test_eval_dataset_iterative_mode(tmp_path):
+    root = make_eval_tree(str(tmp_path))
+    ds = MVSEvalDataset(root, ["scan1"], nviews=3, ndepths=32,
+                        interval_scale=1.0, max_h=128, max_w=160,
+                        dataset="dtu", iterative=True, refine=True)
+    s = ds[0]
+    fx4 = s["proj_matrices"]["stage4"][0, 1, 0, 0]
+    fx5 = s["proj_matrices"]["stage5"][0, 1, 0, 0]
+    np.testing.assert_allclose(fx5, fx4 * 2, rtol=1e-6)  # iterative: x2, x4
