@@ -55,6 +55,7 @@ class ModelConfig:
     clamp_eth3d: bool = False  # ETH3D clamped inverse-depth schedulers
     remat_backbone: bool = False  # jax.checkpoint the ViT (train-memory valve)
     fused_variant: int = 1  # 1 = row-batched matmul, 2 = transpose-free
+    fused_train_warp: bool = False  # kernel fwd + XLA-recompute bwd in training
     vit_args: ViTConfig = field(default_factory=ViTConfig)
 
 

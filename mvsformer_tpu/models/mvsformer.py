@@ -85,6 +85,7 @@ class TwinMVSNet(nn.Module):
                 use_fused_warp=cfg.use_fused_warp and fused_ok(),
                 fused_band_rows=cfg.fused_band_rows,
                 fused_variant=cfg.fused_variant,
+                fused_train_warp=cfg.fused_train_warp,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",
             )

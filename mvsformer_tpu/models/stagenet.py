@@ -62,6 +62,7 @@ class StageNet(nn.Module):
     use_fused_warp: bool = False  # Pallas fused warp+corr (eval path, TPU)
     fused_band_rows: int = 12
     fused_variant: int = 1  # 1 = row-batched matmul, 2 = transpose-free
+    fused_train_warp: bool = False
     # Optional NamedSharding for depth-hypothesis-slab sharding of the cost
     # volume over the mesh's "depth" axis. The constraint makes GSPMD shard
     # the 3D cost-regularization U-Net along D (halo exchanges for the 3x3x3
@@ -103,6 +104,8 @@ class StageNet(nn.Module):
         # materializing the warped volume; the similarity diagnostic needs the
         # raw warp, so it forces the XLA path.
         fused = self.use_fused_warp and not training and not want_similarity
+        fused_train = (self.use_fused_warp and self.fused_train_warp
+                       and training and not want_similarity)
 
         dv32 = depth_values.astype(jnp.float32)
         for v in range(Vs):
@@ -118,6 +121,21 @@ class StageNet(nn.Module):
                     ref_proj_full, dv32, groups=G,
                     band_rows=self.fused_band_rows,
                     want_invalid=(self.fusion_type == "epipoleV2"))
+            elif fused_train:
+                from mvsformer_tpu.ops.pallas.warp_corr_train import (
+                    fused_warp_corr_train,
+                )
+
+                corr = fused_warp_corr_train(
+                    ref32, src_feats[:, v].astype(jnp.float32), src_proj_full,
+                    ref_proj_full, dv32, G, self.fused_band_rows,
+                    self.fused_variant)
+                invalid = None
+                if self.fusion_type == "epipoleV2":
+                    _, _, invalid = geometry.plane_sweep_coords(
+                        src_proj_full, ref_proj_full, dv32, H, W)
+                    invalid = jax.lax.stop_gradient(
+                        invalid.reshape(B, dv32.shape[1], H, W))
             else:
                 warped, invalid = geometry.homo_warp(
                     src_feats[:, v].astype(jnp.float32), src_proj_full,
