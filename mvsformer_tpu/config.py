@@ -54,6 +54,9 @@ class ModelConfig:
     fused_band_rows: int = 12  # y-band height K (>= ROWS+1+epipolar tilt)
     clamp_eth3d: bool = False  # ETH3D clamped inverse-depth schedulers
     remat_backbone: bool = False  # jax.checkpoint the ViT (train-memory valve)
+    eval_view_chunk: int = 0  # >0: eval backbone processes views in chunks of
+    # this many (HBM valve at large eval shapes, the TPU analog of the
+    # reference's eval-time python view loop, mvsformer_model.py:379-399)
     fused_variant: int = 1  # 1 = row-batched matmul, 2 = transpose-free
     fused_train_warp: bool = False  # kernel fwd + XLA-recompute bwd in training
     vit_args: ViTConfig = field(default_factory=ViTConfig)

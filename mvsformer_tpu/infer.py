@@ -43,12 +43,13 @@ def make_infer_fn(model, tmps=(5.0, 5.0, 5.0, 1.0)):
 def save_depth(model, params, batch_stats, testlist, datapath, outdir,
                num_view=5, ndepths=192, interval_scale=1.06, max_h=1152,
                max_w=1536, tmps=(5.0, 5.0, 5.0, 1.0), dataset="dtu",
-               batch_size=1, combine_conf=True, logger=print):
+               batch_size=1, combine_conf=True, use_short_range=False,
+               logger=print):
     """Run inference over every reference view of every scan in `testlist`."""
     infer = make_infer_fn(model, tmps)
     ds = MVSEvalDataset(datapath, testlist, nviews=num_view, ndepths=ndepths,
                         interval_scale=interval_scale, max_h=max_h, max_w=max_w,
-                        dataset=dataset)
+                        dataset=dataset, use_short_range=use_short_range)
     loader = MVSLoader(ds, batch_size=batch_size, shuffle=False, drop_last=False,
                        num_workers=4)
     loader.set_epoch(0)

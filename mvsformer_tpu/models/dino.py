@@ -264,9 +264,9 @@ class DINOMVSNet(nn.Module):
         B, V, H, W, _ = imgs.shape
         depth_interval = depth_values[:, 1] - depth_values[:, 0]
 
-        flat = imgs.reshape(B * V, H, W, 3).astype(self.dtype)
-        feats = self.extract_features(flat, training)
-        features = [f.reshape(B, V, f.shape[1], f.shape[2], f.shape[3]) for f in feats]
+        from mvsformer_tpu.models.mvsformer import extract_view_features
+
+        features = extract_view_features(self, imgs, training, cfg.eval_view_chunk)
 
         outputs = {}
         prev = None

@@ -32,6 +32,31 @@ Dtype = Any
 STAGE_SCALES = (8, 4, 2, 1)  # stage1..stage4 feature-map downscale factors
 
 
+def extract_view_features(model, imgs, training: bool, chunk: int):
+    """Per-stage feature maps [B,V,h,w,c] from imgs [B,V,H,W,3] via
+    model.extract_features.
+
+    At eval with 0 < chunk < V the backbone runs over view chunks so only
+    `chunk` views' backbone activations are live at once — the TPU HBM valve
+    replacing the reference's eval-time python view loop
+    (mvsformer_model.py:379-399); XLA schedules the independent chunk calls
+    sequentially (liveness-minimal)."""
+    B, V, H, W, _ = imgs.shape
+    if not training and chunk and chunk < V:
+        per_stage = None
+        for v0 in range(0, V, chunk):
+            cv = min(chunk, V - v0)
+            sub = imgs[:, v0:v0 + cv].reshape(B * cv, H, W, 3).astype(model.dtype)
+            fs = model.extract_features(sub, training)
+            fs = [f.reshape(B, cv, f.shape[1], f.shape[2], f.shape[3]) for f in fs]
+            per_stage = fs if per_stage is None else [
+                jnp.concatenate([a, b], axis=1) for a, b in zip(per_stage, fs)]
+        return per_stage
+    flat = imgs.reshape(B * V, H, W, 3).astype(model.dtype)
+    feats = model.extract_features(flat, training)
+    return [f.reshape(B, V, f.shape[1], f.shape[2], f.shape[3]) for f in feats]
+
+
 def fused_ok() -> bool:
     """The Pallas fused warp kernel only lowers on real TPU backends; CPU
     tests and the forced-host mesh use the XLA path."""
@@ -131,9 +156,7 @@ class TwinMVSNet(nn.Module):
         B, V, H, W, _ = imgs.shape
         depth_interval = depth_values[:, 1] - depth_values[:, 0]
 
-        flat = imgs.reshape(B * V, H, W, 3).astype(self.dtype)
-        feats = self.extract_features(flat, training)
-        features = [f.reshape(B, V, f.shape[1], f.shape[2], f.shape[3]) for f in feats]
+        features = extract_view_features(self, imgs, training, cfg.eval_view_chunk)
 
         outputs = {}
         prev = None

@@ -32,7 +32,9 @@ def make_mesh(data: int = -1, view: int = 1, depth: int = 1, devices=None) -> Me
     if data == -1:
         assert n % (view * depth) == 0, (n, view, depth)
         data = n // (view * depth)
-    assert data * view * depth == n, (data, view, depth, n)
+    need = data * view * depth
+    assert need <= n, (data, view, depth, n)
+    devices = devices[:need]  # explicit sizes may use a device subset
     arr = np.asarray(devices).reshape(data, view, depth)
     return Mesh(arr, AXES)
 

@@ -57,11 +57,26 @@ class CheckpointManager:
             self._save("model_last", state, meta)
         return is_best
 
-    def restore(self, name: str, template: dict):
+    def restore(self, name: str, template: dict | None = None):
         """Restore `name` ('model_best' | 'model_last') into the shape/dtype
-        template pytree. Returns (state, meta)."""
+        template pytree. Returns (state, meta).
+
+        A template holding only a SUBSET of the saved top-level keys (e.g.
+        eval-time {params, batch_stats} without opt_state, the reference's
+        model-only test load, test.py:203-209) restores just those subtrees."""
         path = os.path.join(self.ckpt_dir, name)
-        state = self._ckptr.restore(path, template)
+        if template is None:
+            state = self._restore_via_metadata(path)
+        else:
+            try:
+                state = self._ckptr.restore(path, template)
+            except ValueError:
+                full = self._restore_via_metadata(path)
+                missing = sorted(set(template) - set(full))
+                if missing:
+                    raise KeyError(
+                        f"checkpoint {path} lacks requested keys {missing}")
+                state = {k: full[k] for k in template}
         meta = {}
         meta_path = path + ".meta.json"
         if os.path.exists(meta_path):
@@ -69,6 +84,18 @@ class CheckpointManager:
                 meta = json.load(f)
         self.best = meta.get("monitor_best", self.best)
         return state, meta
+
+    def _restore_via_metadata(self, path: str):
+        """Template-free restore: build the abstract tree from the checkpoint's
+        own metadata with local single-device sharding, so a checkpoint saved
+        on an N-device mesh restores on any topology (eval-time load)."""
+        import jax
+
+        tree = self._ckptr.metadata(path).item_metadata
+        sds = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        template = jax.tree.map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sds), tree)
+        return self._ckptr.restore(path, template)
 
     def has(self, name: str) -> bool:
         return os.path.isdir(os.path.join(self.ckpt_dir, name))

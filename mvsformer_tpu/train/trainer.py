@@ -74,6 +74,16 @@ class Trainer:
             lambda k: serial.init(k, imgs, projs, dv, training=False)
         )(jax.random.PRNGKey(0))
         self.params = variables["params"]
+        vit_path = self.cfg.arch.vit_args.vit_path
+        if vit_path:
+            # The reference loads pretrained Twins/DINO weights at model
+            # construction (mvsformer_model.py:182-193,335-340); here they are
+            # merged into the init pytree non-strictly with a key report.
+            from mvsformer_tpu.utils.convert_weights import merge_pretrained_backbone
+
+            self.params = merge_pretrained_backbone(
+                self.params, vit_path, self.cfg.arch.vit_args.vit_arch,
+                log=self.logger.info)
         self.batch_stats = variables.get("batch_stats", {})
         self.optimizer, self.schedule = make_optimizer(
             self.params, self.cfg.optimizer, self.cfg.arch.model_type,
@@ -87,22 +97,71 @@ class Trainer:
         return {"params": self.params, "batch_stats": self.batch_stats,
                 "opt_state": self.opt_state}
 
+    def _replicate(self, tree):
+        """Re-place a (checkpoint-restored, device-0-committed) pytree as
+        replicated over the mesh — shard_map rejects single-device inputs."""
+        if self.mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        sharding = NamedSharding(self.mesh, PartitionSpec())
+        return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
     def restore(self, name="model_last"):
         state, meta = self.ckpt.restore(name, self.state_dict())
+        state = self._replicate(state)
         self.params = state["params"]
         self.batch_stats = state["batch_stats"]
         self.opt_state = state["opt_state"]
+        # Resume the step counter so logged LR and the remaining schedule
+        # continue where they left off (round-1 bug: LR display restarted at 0).
+        self.global_step = int(meta.get("global_step", self.global_step))
+        return meta
+
+    def finetune(self, ckpt_dir: str, name: str = "model_best",
+                 restore_opt: bool = True, reset_schedule: bool = True):
+        """Finetune restore (reference train.py:106-131): load a previous
+        run's checkpoint (e.g. DTU-trained) into this run (e.g. BlendedMVS),
+        optionally restoring optimizer moments, and either reset the LR
+        schedule to step 0 (reference's new-scheduler branch) or fast-forward
+        it to the checkpoint's step (reference's replay loop)."""
+        from mvsformer_tpu.train.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir, self.cfg.trainer.monitor)
+        state, meta = mgr.restore(name, self.state_dict())
+        state = self._replicate(state)
+        self.params = state["params"]
+        self.batch_stats = state["batch_stats"]
+        if restore_opt:
+            self.opt_state = state["opt_state"]
+            if reset_schedule:
+                # Keep Adam moments, restart warmup-cosine: zero every step
+                # counter in the optax state (schedule + bias correction).
+                self.opt_state = _zero_counts(self.opt_state)
+        else:
+            self.opt_state = self.optimizer.init(self.params)
+        self.global_step = 0 if reset_schedule else int(meta.get("global_step", 0))
+        self.logger.info(
+            f"finetune: restored {name} from {ckpt_dir} "
+            f"(epoch {meta.get('epoch')}, restore_opt={restore_opt}, "
+            f"reset_schedule={reset_schedule}, global_step={self.global_step})")
         return meta
 
     # -- loops ---------------------------------------------------------------
 
     def micro_batches(self, batch):
         """Split a host batch into micro-batches sized by image height
-        (mvsformer_trainer.py:87-102)."""
+        (mvsformer_trainer.py:87-102). scale_batch_map is PER-DEVICE (the
+        reference's map is per-GPU micro-batch size), so the host micro-batch
+        is map[h] * data-axis size."""
         B = batch["imgs"].shape[0]
         h = batch["imgs"].shape[2]
-        mb = self.scale_batch_map.get(h, B)
-        mb = max(1, min(mb, B))
+        n_data = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        if B % n_data != 0:
+            raise ValueError(
+                f"host batch {B} not divisible by data-parallel axis {n_data}")
+        mb = self.scale_batch_map.get(h, B // n_data) * n_data
+        mb = max(n_data, min(mb, B))
         n = B // mb
         for i in range(n):
             yield jax.tree.map(
@@ -117,17 +176,22 @@ class Trainer:
             t0 = time.time()
             grads = None
             n_micro = 0
-            stats = metrics = None
+            metrics = None
             for micro in self.micro_batches(batch):
                 split = self._train_split(micro)
-                g, stats, metrics = self._grad_step(
+                # Per-micro-batch rng (fold_in) — round-1 bug reused one key
+                # across accumulation slices, correlating droppath masks; and
+                # batch_stats are chained micro->micro so every slice
+                # contributes to the BN running stats (torch momentum-update-
+                # per-forward semantics).
+                g, self.batch_stats, metrics = self._grad_step(
                     self.params, self.batch_stats, split,
-                    jax.random.PRNGKey(self.global_step))
+                    jax.random.fold_in(
+                        jax.random.PRNGKey(self.global_step), n_micro))
                 grads = g if grads is None else jax.tree.map(jnp.add, grads, g)
                 n_micro += 1
             if n_micro > 1:
                 grads = jax.tree.map(lambda x: x / n_micro, grads)
-            self.batch_stats = stats
             if self.debug:
                 # The reference's fp16 overflow detector scans every layer's
                 # scaled grad for inf/nan (mvsformer_trainer.py:139-155); in
@@ -189,9 +253,27 @@ class Trainer:
 
     def valid_epoch(self, epoch: int) -> dict:
         meter = DictAverageMeter()
+        n_data = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
         for batch in self.val_loader:
+            # Pad a trailing partial batch (val loader keeps remainders,
+            # drop_last=False) up to the data-axis multiple by repeating the
+            # last sample; metrics below only read the true B outputs.
+            B = batch["imgs"].shape[0]
+            if B % n_data != 0:
+                pad = n_data - B % n_data
+
+                def _pad(x):
+                    if isinstance(x, np.ndarray) and x.ndim >= 1 and x.shape[0] == B:
+                        return np.concatenate([x, np.repeat(x[-1:], pad, 0)], 0)
+                    return x
+
+                batch = jax.tree.map(_pad, batch)
             split = self._eval_split(batch)
             depth_est, conf = self._eval_step(self.params, self.batch_stats, split)
+            depth_est, conf = depth_est[:B], conf[:B]
+            batch = jax.tree.map(
+                lambda x: x[:B] if isinstance(x, np.ndarray) and x.ndim >= 1
+                and x.shape[0] > B else x, batch)
             depth_gt = jnp.asarray(batch["depth"]["stage4"])
             mask = jnp.asarray(batch["mask"]["stage4"]) > 0.5
             dv = jnp.asarray(batch["depth_values"])
@@ -253,7 +335,8 @@ class Trainer:
                 self.logger.info(f"epoch {epoch} val: {val_log}")
                 log.update({f"val_{k}": v for k, v in val_log.items()})
                 improved = self.ckpt.step(epoch, val_log["mean_error"],
-                                          self.state_dict())
+                                          self.state_dict(),
+                                          extra_meta={"global_step": self.global_step})
                 self._not_improved = 0 if improved else self._not_improved + 1
                 if self._not_improved >= self.cfg.trainer.early_stop:
                     self.logger.info(
@@ -261,9 +344,28 @@ class Trainer:
                     history.append(log)
                     break
             else:
-                self.ckpt.step(epoch, self.ckpt.best, self.state_dict())
+                self.ckpt.step(epoch, self.ckpt.best, self.state_dict(),
+                               extra_meta={"global_step": self.global_step})
             history.append(log)
         return history
+
+
+def _zero_counts(state):
+    """Zero every `count` field in an optax state tree (schedule position +
+    Adam bias-correction step), keeping the moment estimates — the finetune
+    reset-scheduler branch (reference train.py:113-118)."""
+    if hasattr(state, "_fields"):
+        vals = {f: _zero_counts(getattr(state, f)) for f in state._fields}
+        if "count" in state._fields:
+            vals["count"] = jnp.zeros_like(state.count)
+        return type(state)(**vals)
+    if isinstance(state, tuple):
+        return tuple(_zero_counts(s) for s in state)
+    if isinstance(state, list):
+        return [_zero_counts(s) for s in state]
+    if isinstance(state, dict):
+        return {k: _zero_counts(v) for k, v in state.items()}
+    return state
 
 
 def _to_jax(tree):

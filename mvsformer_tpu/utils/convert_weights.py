@@ -24,14 +24,16 @@ import numpy as np
 
 
 def _t(w):  # torch Linear -> flax Dense kernel
-    return np.asarray(w).T
+    return None if w is None else np.asarray(w).T
 
 
 def _conv(w):  # torch conv -> flax conv kernel
-    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+    return None if w is None else np.transpose(np.asarray(w), (2, 3, 1, 0))
 
 
 def _set(tree, path, value):
+    if value is None:  # missing source key: non-strict load skips it
+        return
     parts = path.split("/")
     node = tree
     for p in parts[:-1]:
@@ -45,47 +47,48 @@ def convert_twins(state_dict: dict, depths=(2, 2, 10, 4)) -> dict:
     out: dict = {}
 
     for i in range(len(depths)):
-        _set(out, f"patch_embed{i}/proj/kernel", _conv(sd[f"patch_embeds.{i}.proj.weight"]))
-        _set(out, f"patch_embed{i}/proj/bias", sd[f"patch_embeds.{i}.proj.bias"])
-        _set(out, f"patch_embed{i}/norm/scale", sd[f"patch_embeds.{i}.norm.weight"])
-        _set(out, f"patch_embed{i}/norm/bias", sd[f"patch_embeds.{i}.norm.bias"])
+        _set(out, f"patch_embed{i}/proj/kernel", _conv(sd.get(f"patch_embeds.{i}.proj.weight")))
+        _set(out, f"patch_embed{i}/proj/bias", sd.get(f"patch_embeds.{i}.proj.bias"))
+        _set(out, f"patch_embed{i}/norm/scale", sd.get(f"patch_embeds.{i}.norm.weight"))
+        _set(out, f"patch_embed{i}/norm/bias", sd.get(f"patch_embeds.{i}.norm.bias"))
 
         # PosCNN: depthwise conv (gvt.py:360-378)
-        w = sd[f"pos_block.{i}.proj.0.weight"]
-        _set(out, f"pos_block{i}/proj/kernel", np.transpose(w, (2, 3, 1, 0)))
-        _set(out, f"pos_block{i}/proj/bias", sd[f"pos_block.{i}.proj.0.bias"])
+        w = sd.get(f"pos_block.{i}.proj.0.weight")
+        _set(out, f"pos_block{i}/proj/kernel",
+             None if w is None else np.transpose(w, (2, 3, 1, 0)))
+        _set(out, f"pos_block{i}/proj/bias", sd.get(f"pos_block.{i}.proj.0.bias"))
 
         if f"norm_list.{i}.weight" in sd:
-            _set(out, f"stage_norm{i}/scale", sd[f"norm_list.{i}.weight"])
-            _set(out, f"stage_norm{i}/bias", sd[f"norm_list.{i}.bias"])
+            _set(out, f"stage_norm{i}/scale", sd.get(f"norm_list.{i}.weight"))
+            _set(out, f"stage_norm{i}/bias", sd.get(f"norm_list.{i}.bias"))
 
         for j in range(depths[i]):
             p = f"blocks.{i}.{j}"
             q = f"block{i}_{j}"
-            _set(out, f"{q}/norm1/scale", sd[f"{p}.norm1.weight"])
-            _set(out, f"{q}/norm1/bias", sd[f"{p}.norm1.bias"])
-            _set(out, f"{q}/norm2/scale", sd[f"{p}.norm2.weight"])
-            _set(out, f"{q}/norm2/bias", sd[f"{p}.norm2.bias"])
-            _set(out, f"{q}/mlp/fc1/kernel", _t(sd[f"{p}.mlp.fc1.weight"]))
-            _set(out, f"{q}/mlp/fc1/bias", sd[f"{p}.mlp.fc1.bias"])
-            _set(out, f"{q}/mlp/fc2/kernel", _t(sd[f"{p}.mlp.fc2.weight"]))
-            _set(out, f"{q}/mlp/fc2/bias", sd[f"{p}.mlp.fc2.bias"])
+            _set(out, f"{q}/norm1/scale", sd.get(f"{p}.norm1.weight"))
+            _set(out, f"{q}/norm1/bias", sd.get(f"{p}.norm1.bias"))
+            _set(out, f"{q}/norm2/scale", sd.get(f"{p}.norm2.weight"))
+            _set(out, f"{q}/norm2/bias", sd.get(f"{p}.norm2.bias"))
+            _set(out, f"{q}/mlp/fc1/kernel", _t(sd.get(f"{p}.mlp.fc1.weight")))
+            _set(out, f"{q}/mlp/fc1/bias", sd.get(f"{p}.mlp.fc1.bias"))
+            _set(out, f"{q}/mlp/fc2/kernel", _t(sd.get(f"{p}.mlp.fc2.weight")))
+            _set(out, f"{q}/mlp/fc2/bias", sd.get(f"{p}.mlp.fc2.bias"))
 
             if f"{p}.attn.qkv.weight" in sd:  # windowed GroupAttention
-                _set(out, f"{q}/attn/qkv/kernel", _t(sd[f"{p}.attn.qkv.weight"]))
-                _set(out, f"{q}/attn/qkv/bias", sd[f"{p}.attn.qkv.bias"])
+                _set(out, f"{q}/attn/qkv/kernel", _t(sd.get(f"{p}.attn.qkv.weight")))
+                _set(out, f"{q}/attn/qkv/bias", sd.get(f"{p}.attn.qkv.bias"))
             else:  # global subsampled attention
-                _set(out, f"{q}/attn/q/kernel", _t(sd[f"{p}.attn.q.weight"]))
-                _set(out, f"{q}/attn/q/bias", sd[f"{p}.attn.q.bias"])
-                _set(out, f"{q}/attn/kv/kernel", _t(sd[f"{p}.attn.kv.weight"]))
-                _set(out, f"{q}/attn/kv/bias", sd[f"{p}.attn.kv.bias"])
+                _set(out, f"{q}/attn/q/kernel", _t(sd.get(f"{p}.attn.q.weight")))
+                _set(out, f"{q}/attn/q/bias", sd.get(f"{p}.attn.q.bias"))
+                _set(out, f"{q}/attn/kv/kernel", _t(sd.get(f"{p}.attn.kv.weight")))
+                _set(out, f"{q}/attn/kv/bias", sd.get(f"{p}.attn.kv.bias"))
                 if f"{p}.attn.sr.weight" in sd:
-                    _set(out, f"{q}/attn/sr/kernel", _conv(sd[f"{p}.attn.sr.weight"]))
-                    _set(out, f"{q}/attn/sr/bias", sd[f"{p}.attn.sr.bias"])
-                    _set(out, f"{q}/attn/norm/scale", sd[f"{p}.attn.norm.weight"])
-                    _set(out, f"{q}/attn/norm/bias", sd[f"{p}.attn.norm.bias"])
-            _set(out, f"{q}/attn/proj/kernel", _t(sd[f"{p}.attn.proj.weight"]))
-            _set(out, f"{q}/attn/proj/bias", sd[f"{p}.attn.proj.bias"])
+                    _set(out, f"{q}/attn/sr/kernel", _conv(sd.get(f"{p}.attn.sr.weight")))
+                    _set(out, f"{q}/attn/sr/bias", sd.get(f"{p}.attn.sr.bias"))
+                    _set(out, f"{q}/attn/norm/scale", sd.get(f"{p}.attn.norm.weight"))
+                    _set(out, f"{q}/attn/norm/bias", sd.get(f"{p}.attn.norm.bias"))
+            _set(out, f"{q}/attn/proj/kernel", _t(sd.get(f"{p}.attn.proj.weight")))
+            _set(out, f"{q}/attn/proj/bias", sd.get(f"{p}.attn.proj.bias"))
     return out
 
 
@@ -93,27 +96,27 @@ def convert_dino_vit(state_dict: dict, depth=12) -> dict:
     """torch DINO ViT state_dict -> flax DINOViT param tree."""
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     out: dict = {}
-    _set(out, "cls_token", sd["cls_token"])
-    _set(out, "pos_embed", sd["pos_embed"])
-    _set(out, "patch_embed/kernel", _conv(sd["patch_embed.proj.weight"]))
-    _set(out, "patch_embed/bias", sd["patch_embed.proj.bias"])
-    _set(out, "norm/scale", sd["norm.weight"])
-    _set(out, "norm/bias", sd["norm.bias"])
+    _set(out, "cls_token", sd.get("cls_token"))
+    _set(out, "pos_embed", sd.get("pos_embed"))
+    _set(out, "patch_embed/kernel", _conv(sd.get("patch_embed.proj.weight")))
+    _set(out, "patch_embed/bias", sd.get("patch_embed.proj.bias"))
+    _set(out, "norm/scale", sd.get("norm.weight"))
+    _set(out, "norm/bias", sd.get("norm.bias"))
     for i in range(depth):
         p = f"blocks.{i}"
         q = f"block{i}"
-        _set(out, f"{q}/norm1/scale", sd[f"{p}.norm1.weight"])
-        _set(out, f"{q}/norm1/bias", sd[f"{p}.norm1.bias"])
-        _set(out, f"{q}/norm2/scale", sd[f"{p}.norm2.weight"])
-        _set(out, f"{q}/norm2/bias", sd[f"{p}.norm2.bias"])
-        _set(out, f"{q}/attn/qkv/kernel", _t(sd[f"{p}.attn.qkv.weight"]))
-        _set(out, f"{q}/attn/qkv/bias", sd[f"{p}.attn.qkv.bias"])
-        _set(out, f"{q}/attn/proj/kernel", _t(sd[f"{p}.attn.proj.weight"]))
-        _set(out, f"{q}/attn/proj/bias", sd[f"{p}.attn.proj.bias"])
-        _set(out, f"{q}/fc1/kernel", _t(sd[f"{p}.mlp.fc1.weight"]))
-        _set(out, f"{q}/fc1/bias", sd[f"{p}.mlp.fc1.bias"])
-        _set(out, f"{q}/fc2/kernel", _t(sd[f"{p}.mlp.fc2.weight"]))
-        _set(out, f"{q}/fc2/bias", sd[f"{p}.mlp.fc2.bias"])
+        _set(out, f"{q}/norm1/scale", sd.get(f"{p}.norm1.weight"))
+        _set(out, f"{q}/norm1/bias", sd.get(f"{p}.norm1.bias"))
+        _set(out, f"{q}/norm2/scale", sd.get(f"{p}.norm2.weight"))
+        _set(out, f"{q}/norm2/bias", sd.get(f"{p}.norm2.bias"))
+        _set(out, f"{q}/attn/qkv/kernel", _t(sd.get(f"{p}.attn.qkv.weight")))
+        _set(out, f"{q}/attn/qkv/bias", sd.get(f"{p}.attn.qkv.bias"))
+        _set(out, f"{q}/attn/proj/kernel", _t(sd.get(f"{p}.attn.proj.weight")))
+        _set(out, f"{q}/attn/proj/bias", sd.get(f"{p}.attn.proj.bias"))
+        _set(out, f"{q}/fc1/kernel", _t(sd.get(f"{p}.mlp.fc1.weight")))
+        _set(out, f"{q}/fc1/bias", sd.get(f"{p}.mlp.fc1.bias"))
+        _set(out, f"{q}/fc2/kernel", _t(sd.get(f"{p}.mlp.fc2.weight")))
+        _set(out, f"{q}/fc2/bias", sd.get(f"{p}.mlp.fc2.bias"))
     return out
 
 
@@ -148,3 +151,61 @@ def load_pretrained_backbone(path: str, arch: str) -> dict:
     if arch.startswith("vit"):
         return convert_dino_vit(sd)
     raise ValueError(arch)
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + k + "/"))
+        else:
+            out[prefix + k] = v
+    return out
+
+
+def merge_pretrained_backbone(params: dict, path: str, arch: str,
+                              subtree: str = "vit", log=print) -> dict:
+    """Merge a converted torch backbone checkpoint into `params[subtree]`.
+
+    Non-strict, like the reference's torch_init_model (utils.py:363-390,
+    invoked at model construction, mvsformer_model.py:335-340): keys present
+    in both with matching shapes are overwritten from the checkpoint; missing
+    and unexpected keys are reported via `log`. Returns a NEW params tree
+    (flax param pytrees are treated as immutable)."""
+    conv_tree = load_pretrained_backbone(path, arch)
+    converted = _flatten(conv_tree)
+    if subtree not in params:
+        raise KeyError(f"params has no '{subtree}' subtree; keys={list(params)}")
+    want = _flatten(params[subtree])
+
+    missing = sorted(set(want) - set(converted))
+    unexpected = sorted(set(converted) - set(want))
+    mismatched = sorted(
+        k for k in set(want) & set(converted)
+        if tuple(np.shape(want[k])) != tuple(np.shape(converted[k])))
+    loaded = sorted((set(want) & set(converted)) - set(mismatched))
+    log(f"[pretrained] {path} -> params/{subtree}: loaded {len(loaded)}/"
+        f"{len(want)} tensors; missing {len(missing)}, unexpected "
+        f"{len(unexpected)}, shape-mismatch {len(mismatched)}")
+    for name, keys in (("missing", missing), ("unexpected", unexpected),
+                       ("shape-mismatch", mismatched)):
+        for k in keys[:20]:
+            log(f"[pretrained]   {name}: {k}")
+        if len(keys) > 20:
+            log(f"[pretrained]   ... and {len(keys) - 20} more {name}")
+
+    def _merge(dst, src):
+        out = {}
+        for k, v in dst.items():
+            if isinstance(v, dict):
+                out[k] = _merge(v, src.get(k, {})) if isinstance(src.get(k), dict) \
+                    else dict(v)
+            elif k in src and tuple(np.shape(v)) == tuple(np.shape(src[k])):
+                out[k] = np.asarray(src[k], dtype=np.asarray(v).dtype)
+            else:
+                out[k] = v
+        return out
+
+    new_params = dict(params)
+    new_params[subtree] = _merge(params[subtree], conv_tree)
+    return new_params

@@ -29,9 +29,15 @@ def main():
                         help="run dir containing model_best + config.json")
     parser.add_argument("--which_ckpt", default="model_best")
     parser.add_argument("--outdir", required=True)
-    parser.add_argument("--num_view", type=int, default=5)
+    parser.add_argument("--num_view", type=int, default=5,
+                        help="views per reference (T&T benchmarks use 10-20)")
     parser.add_argument("--ndepths", type=int, default=192)
-    parser.add_argument("--interval_scale", type=float, default=1.06)
+    parser.add_argument("--interval_scale", default="1.06",
+                        help="depth interval scale: a float, or per-scene "
+                             "'Scene1:1.0,Scene2:1.2' pairs (T&T)")
+    parser.add_argument("--use_short_range", action="store_true",
+                        help="read T&T short_range_cameras/cams_<scan> "
+                             "(general_eval.py:168-169)")
     parser.add_argument("--max_h", type=int, default=1152)
     parser.add_argument("--max_w", type=int, default=1536)
     parser.add_argument("--tmps", default="5.0,5.0,5.0,1.0")
@@ -47,14 +53,28 @@ def main():
     parser.add_argument("--num_consistent", type=int, default=2,
                         help="gipuma-compat consistent-view count")
     parser.add_argument("--fusion_src_views", type=int, default=10)
-    parser.add_argument("--combine_conf", action="store_true", default=True)
+    parser.add_argument("--combine_conf", action=argparse.BooleanOptionalAction,
+                        default=True,
+                        help="save the stage-averaged confidence map; "
+                             "--no-combine_conf saves the stacked per-stage "
+                             "maps instead (test.py:280-293), consumed by "
+                             "fusion with per-stage prob thresholds")
     parser.add_argument("--skip_depth", action="store_true",
                         help="fusion only (phase-1 outputs already exist)")
     parser.add_argument("--skip_fusion", action="store_true")
     parser.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. 'cpu' for smoke runs)")
+    parser.add_argument("--eval_view_chunk", type=int, default=0,
+                        help=">0: backbone processes views in chunks of this "
+                             "many at eval (HBM valve for large shapes / many "
+                             "T&T views)")
     args = parser.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from mvsformer_tpu.config import load_config
@@ -76,6 +96,8 @@ def main():
 
     if not args.skip_depth:
         cfg = load_config(os.path.join(args.ckpt_dir, "config.json"))
+        if args.eval_view_chunk:
+            cfg.arch.eval_view_chunk = args.eval_view_chunk
         dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
         model = build_model(cfg.arch, dtype=dtype)
 
@@ -99,11 +121,18 @@ def main():
             "batch_stats": variables.get("batch_stats", {}),
         })
         tmps = [float(t) for t in args.tmps.split(",")]
+        if ":" in args.interval_scale:
+            interval_scale = {
+                k: float(v) for k, v in
+                (pair.split(":") for pair in args.interval_scale.split(","))}
+        else:
+            interval_scale = float(args.interval_scale)
         save_depth(model, state["params"], state["batch_stats"], testlist,
                    args.testpath, args.outdir, num_view=args.num_view,
-                   ndepths=args.ndepths, interval_scale=args.interval_scale,
+                   ndepths=args.ndepths, interval_scale=interval_scale,
                    max_h=args.max_h, max_w=args.max_w, tmps=tmps,
-                   dataset=args.dataset, combine_conf=args.combine_conf)
+                   dataset=args.dataset, combine_conf=args.combine_conf,
+                   use_short_range=args.use_short_range)
 
     if not args.skip_fusion:
         prob_threshold = [float(p) for p in args.prob_threshold.split(",")]

@@ -140,3 +140,84 @@ def test_fuse_scan_end_to_end(tmp_path):
     assert n > 1000
     pts, cols = read_ply(ply)
     np.testing.assert_allclose(pts[:, 2], DEPTH, rtol=1e-3)
+
+
+def test_gipuma_threshold_mapping_inclusion():
+    """The gipuma-compat CLI path maps fusibile flags to device-side
+    thresholds (test.py: dist=disp_threshold*10, views=num_consistent+1,
+    misc/gipuma.py:192-213). Validate the monotone inclusion property that
+    mapping relies on: the looser gipuma-mapped thresholds keep a superset
+    of the strict pcd mask on a noisy scene."""
+    rng = np.random.default_rng(0)
+    ref_depth, src_depths, ref_cam, src_cams = plane_scene()
+    # Per-pixel noise: some pixels fail tight reproj/consistency thresholds.
+    src_depths = src_depths + rng.normal(0.0, 2.0, src_depths.shape).astype(np.float32)
+
+    def run(dist_thresh, thres_view):
+        mask, _, _ = F.fuse_pcd(
+            jnp.asarray(ref_depth[None]), jnp.asarray(src_depths[None]),
+            jnp.asarray(ref_cam[None]), jnp.asarray(src_cams[None]),
+            jnp.asarray(np.ones((1, H, W), np.float32)),
+            prob_threshold=(0.5,), dist_thresh=dist_thresh,
+            thres_view=thres_view)
+        return np.asarray(mask[0])
+
+    strict = run(dist_thresh=0.25, thres_view=4)
+    # gipuma defaults: disp_threshold 0.1 -> dist 1.0, num_consistent 2 -> 3
+    gipuma = run(dist_thresh=0.1 * 10, thres_view=2 + 1)
+    assert strict.any() and gipuma.any()
+    assert (strict & ~gipuma).sum() == 0, "strict mask must be a subset"
+    assert gipuma.sum() > strict.sum(), "looser thresholds must keep more"
+
+
+def test_fuse_scan_stacked_confidence(tmp_path):
+    """--no-combine_conf writes stacked per-stage confidences [4,H,W]
+    (test.py:280-293); fusion must consume per-stage thresholds for both the
+    ref mask and the source pre-mask (test.py:414-419)."""
+    import cv2
+
+    from mvsformer_tpu.fuse import fuse_scan
+
+    n_views = 5
+    scan = str(tmp_path / "scan1")
+    for sub in ("depth_est", "confidence", "cams", "images"):
+        os.makedirs(os.path.join(scan, sub), exist_ok=True)
+    with open(os.path.join(scan, "pair.txt"), "w") as f:
+        f.write(f"{n_views}\n")
+        for ref in range(n_views):
+            srcs = [v for v in range(n_views) if v != ref]
+            f.write(f"{ref}\n")
+            f.write(f"{len(srcs)} " + " ".join(
+                f"{s} {10 - i}" for i, s in enumerate(srcs)) + "\n")
+    for vid in range(n_views):
+        save_pfm(os.path.join(scan, "depth_est", f"{vid:0>8}.pfm"),
+                 np.full((H, W), DEPTH, np.float32))
+        conf = np.ones((4, H, W), np.float32)
+        # stage-2 confidence low on the left half -> those pixels must drop
+        conf[1, :, : W // 2] = 0.1
+        np.save(os.path.join(scan, "confidence", f"{vid:0>8}.npy"), conf)
+        c = cam(vid * 5.0)
+        write_cam_file(os.path.join(scan, "cams", f"{vid:0>8}_cam.txt"),
+                       CameraParams(c[0], c[1, :3, :3], 400.0, 2.5))
+        cv2.imwrite(os.path.join(scan, "images", f"{vid:0>8}.jpg"),
+                    np.full((H, W, 3), 128, np.uint8))
+
+    ply = str(tmp_path / "out.ply")
+    n = fuse_scan(scan, scan, ply, method="pcd",
+                  prob_threshold=(0.5, 0.5, 0.5, 0.5), thres_view=3,
+                  n_src_views=4, logger=lambda *a: None)
+    assert n > 100
+    pts, _ = read_ply(ply)
+    np.testing.assert_allclose(pts[:, 2], DEPTH, rtol=1e-3)
+
+    # Same scene with uniformly high stacked confidence keeps roughly twice
+    # as many points: the low stage-2 left half must drop through BOTH the
+    # ref prob mask and the source pre-mask.
+    for vid in range(n_views):
+        np.save(os.path.join(scan, "confidence", f"{vid:0>8}.npy"),
+                np.ones((4, H, W), np.float32))
+    ply2 = str(tmp_path / "out2.ply")
+    n_all = fuse_scan(scan, scan, ply2, method="pcd",
+                      prob_threshold=(0.5, 0.5, 0.5, 0.5), thres_view=3,
+                      n_src_views=4, logger=lambda *a: None)
+    assert 0.3 * n_all < n < 0.7 * n_all, (n, n_all)

@@ -82,6 +82,7 @@ def test_depths_within_hypothesis_range(model_and_vars):
         assert (d >= dvs.min() - 1e-3).all() and (d <= dvs.max() + 1e-3).all()
 
 
+@pytest.mark.slow
 def test_train_step_loss_and_grads(model_and_vars):
     cfg, model, variables, (imgs, projs, dv) = model_and_vars
     B, V, H, W, _ = imgs.shape
@@ -144,3 +145,21 @@ def test_frozen_backbone_gets_no_grads():
     grads = jax.grad(loss_fn)(variables["params"])
     vit_gnorm = sum(float(jnp.abs(g).sum()) for g in jax.tree.leaves(grads["vit"]))
     assert vit_gnorm == 0.0
+
+
+def test_eval_view_chunk_parity(model_and_vars):
+    """Chunked-backbone eval (the HBM valve replacing the reference's
+    eval-time view loop, mvsformer_model.py:379-399) must agree with the
+    all-views-batched path."""
+    cfg, model, variables, (imgs, projs, dv) = model_and_vars
+    chunked = build_model(tiny_cfg(eval_view_chunk=2), dtype=jnp.float32)
+    out_b = model.apply(variables, imgs, projs, dv, training=False,
+                        tmp=[5.0, 5.0, 5.0, 1.0])
+    out_c = chunked.apply(variables, imgs, projs, dv, training=False,
+                          tmp=[5.0, 5.0, 5.0, 1.0])
+    np.testing.assert_allclose(np.asarray(out_c["refined_depth"]),
+                               np.asarray(out_b["refined_depth"]),
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_c["photometric_confidence"]),
+                               np.asarray(out_b["photometric_confidence"]),
+                               rtol=1e-5, atol=1e-4)

@@ -24,8 +24,9 @@ def make_gt(rng, B, H, W):
 
 
 CASES = [
-    ("dino", "cnn", "ce"),
-    ("twin", "epipole", "re"),
+    # the two >60s variants run in the nightly/full suite only
+    pytest.param("dino", "cnn", "ce", marks=pytest.mark.slow),
+    pytest.param("twin", "epipole", "re", marks=pytest.mark.slow),
     ("twin", "epipoleV2", "mixup_ce"),
     ("twin", "cnn", "was"),
 ]

@@ -38,6 +38,7 @@ def make_full_batch(rng, B=2, V=5, H=64, W=64):
     }
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_view_sharded_step_matches_serial():
     rng = np.random.default_rng(0)
@@ -100,6 +101,7 @@ def test_view_sharded_step_matches_serial():
             err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_eval_step_runs_on_8dev_mesh():
     rng = np.random.default_rng(0)
@@ -124,6 +126,7 @@ def test_eval_step_runs_on_8dev_mesh():
     assert np.isfinite(np.asarray(depth)).all()
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_depth_slab_sharded_eval_matches_serial():
     """data=2 x view=2 x depth=2 mesh: GSPMD depth-slab cost-reg must produce

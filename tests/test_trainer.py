@@ -18,6 +18,7 @@ from mvsformer_tpu.train.trainer import Trainer
 from tests.test_data import make_dtu_tree
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs 2 devices")
 def test_train_one_epoch_and_checkpoint(tmp_path):
     root = make_dtu_tree(str(tmp_path / "dtu"), H=240, W=320)

@@ -22,8 +22,24 @@ def main():
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--data_path", type=str, default=None)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument("--vit_path", type=str, default=None,
+                        help="pretrained Twins/DINO torch checkpoint "
+                             "(overrides arch.vit_args.vit_path)")
+    parser.add_argument("--finetune", type=str, default=None,
+                        help="checkpoint dir of a previous run to finetune "
+                             "from (reference train.py:106-131)")
+    parser.add_argument("--finetune_name", type=str, default="model_best")
+    parser.add_argument("--no_restore_opt", action="store_true",
+                        help="finetune: do not restore optimizer moments")
+    parser.add_argument("--keep_schedule", action="store_true",
+                        help="finetune: fast-forward the LR schedule instead "
+                             "of resetting it")
     parser.add_argument("--lr", type=float, default=None)
     parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
+    parser.add_argument("--data_parallel", type=int, default=-1,
+                        help="size of the 'data' mesh axis (-1 = all devices "
+                             "left over after view/depth); must divide the "
+                             "per-host batch size")
     parser.add_argument("--view_parallel", type=int, default=1,
                         help="size of the 'view' mesh axis")
     parser.add_argument("--depth_parallel", type=int, default=1,
@@ -31,12 +47,17 @@ def main():
     parser.add_argument("--multi_host", action="store_true",
                         help="call jax.distributed.initialize()")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", type=str, default=None,
+                        help="force a jax platform (e.g. 'cpu' for smoke runs; "
+                             "overrides any environment-registered backend)")
     parser.add_argument("--debug", action="store_true",
                         help="per-subtree gradient inf/nan scan + TB grad maxima")
     args = parser.parse_args()
 
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.multi_host:
         jax.distributed.initialize()
 
@@ -57,6 +78,8 @@ def main():
     cfg = load_config(args.config, overrides)
     if args.data_path:
         cfg.data.datapath = args.data_path
+    if args.vit_path is not None:
+        cfg.arch.vit_args.vit_path = args.vit_path
 
     host_id = jax.process_index()
     num_hosts = jax.process_count()
@@ -89,7 +112,7 @@ def main():
                            host_id=host_id, num_hosts=num_hosts)
     val_loader.set_epoch(0)
 
-    mesh = mesh_lib.make_mesh(data=-1, view=args.view_parallel,
+    mesh = mesh_lib.make_mesh(data=args.data_parallel, view=args.view_parallel,
                               depth=args.depth_parallel)
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     depth_sharding = None
@@ -121,6 +144,10 @@ def main():
         meta = trainer.restore("model_last")
         start_epoch = int(meta.get("epoch", 0)) + 1
         print(f"resumed from epoch {meta.get('epoch')}")
+    elif args.finetune:
+        trainer.finetune(args.finetune, name=args.finetune_name,
+                         restore_opt=not args.no_restore_opt,
+                         reset_schedule=not args.keep_schedule)
 
     trainer.train(start_epoch)
 
