@@ -111,6 +111,11 @@ class MVSEvalDataset:
             intr, extr, dmin, ditv = self._read_cam(
                 self._cam_path(scan, vid), self.interval_scale[scan])
 
+            # Direct resize to (max_w, max_h) with PER-AXIS intrinsic scaling
+            # (general_eval.py:117-128 scale_mvs_input does exactly this):
+            # fx scales by w-ratio and fy by h-ratio independently, so a
+            # non-uniform resize stays geometrically consistent — anisotropic
+            # pixels are modeled by the intrinsics, not an approximation.
             h, w = img.shape[:2]
             intr[0, :] *= self.max_w / w
             intr[1, :] *= self.max_h / h

@@ -20,6 +20,13 @@ from flax import linen as nn
 Dtype = Any
 
 
+def _torch_pad(kernel):
+    """Symmetric per-axis padding matching torch's p=(k-1)//2 convention.
+    Identical to SAME for stride 1, but torch-aligned (not XLA-SAME) for
+    strided convs — required for reference-checkpoint parity."""
+    return tuple(((k - 1) // 2, (k - 1) // 2) for k in kernel)
+
+
 def swish(x):
     return x * nn.sigmoid(x)
 
@@ -67,7 +74,8 @@ class ConvNormAct(nn.Module):
     def __call__(self, x, training: bool = False):
         x = nn.Conv(
             self.features, (self.kernel, self.kernel), strides=self.stride,
-            padding="SAME", use_bias=(self.norm == "none"), dtype=self.dtype,
+            padding=_torch_pad((self.kernel, self.kernel)),
+            use_bias=(self.norm == "none"), dtype=self.dtype,
         )(x)
         x = Norm(self.norm, dtype=self.dtype, axis_name=self.axis_name)(x, training)
         if self.act:
@@ -89,7 +97,8 @@ class ConvBnReLU(nn.Module):
     def __call__(self, x, training: bool = False):
         x = nn.Conv(
             self.features, (self.kernel, self.kernel), strides=self.stride,
-            padding="SAME", use_bias=False, dtype=self.dtype,
+            padding=_torch_pad((self.kernel, self.kernel)),
+            use_bias=False, dtype=self.dtype,
         )(x)
         x = Norm(self.norm, dtype=self.dtype, axis_name=self.axis_name)(x, training)
         return nn.relu(x)
@@ -111,7 +120,7 @@ class Conv3dNormAct(nn.Module):
         k = (self.kernel,) * 3 if isinstance(self.kernel, int) else tuple(self.kernel)
         s = (self.stride,) * 3 if isinstance(self.stride, int) else tuple(self.stride)
         x = nn.Conv(
-            self.features, k, strides=s, padding="SAME",
+            self.features, k, strides=s, padding=_torch_pad(k),
             use_bias=(self.norm == "none"), dtype=self.dtype,
         )(x)
         x = Norm(self.norm, dtype=self.dtype, axis_name=self.axis_name)(x, training)
@@ -134,8 +143,11 @@ class Deconv3dNormAct(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         s = (self.stride,) * 3 if isinstance(self.stride, int) else tuple(self.stride)
+        # torch ConvTranspose3d(k3, p1, output_padding=s-1) alignment:
+        # flax pad (lo,hi) = (k-1-p, k-1-p+op) = (1, s) per axis.
         x = nn.ConvTranspose(
-            self.features, (3, 3, 3), strides=s, padding="SAME",
+            self.features, (3, 3, 3), strides=s,
+            padding=tuple((1, si) for si in s),
             use_bias=False, dtype=self.dtype,
         )(x)
         x = Norm(self.norm, dtype=self.dtype, axis_name=self.axis_name)(x, training)
@@ -155,8 +167,9 @@ class Deconv2dNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        # torch ConvTranspose2d(k4, s2, p1): flax pad (k-1-p,)*2 = (2, 2).
         x = nn.ConvTranspose(
-            self.features, (4, 4), strides=(2, 2), padding="SAME",
+            self.features, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
             use_bias=False, dtype=self.dtype,
         )(x)
         x = Norm(self.norm, dtype=self.dtype, axis_name=self.axis_name)(x, training)

@@ -64,16 +64,48 @@ def resize_nearest(x: Array, out_hw, spatial_axes=(-3, -2)) -> Array:
     return x
 
 
-def resize_bicubic(x: Array, out_hw, spatial_axes=(-3, -2)) -> Array:
-    """Half-pixel bicubic resize (used for the 0.5x ViT input rescale).
+def _cubic_kernel(t, a: float):
+    """Keys cubic convolution kernel with free parameter `a`."""
+    t = jnp.abs(t)
+    w1 = (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0          # |t| <= 1
+    w2 = a * t**3 - 5.0 * a * t**2 + 8.0 * a * t - 4.0 * a  # 1 < |t| < 2
+    return jnp.where(t <= 1.0, w1, jnp.where(t < 2.0, w2, 0.0))
 
-    Uses jax.image.resize's Keys cubic kernel; matches torch bicubic
-    align_corners=False up to the kernel's `a` constant — acceptable for an
-    input-image rescale (documented deviation).
-    """
+
+def _cubic_matrix(in_size: int, out_size: int, a: float) -> Array:
+    """Dense [out,in] resampling matrix: torch bicubic align_corners=False
+    (half-pixel centers, a=-0.75, border-replicated taps). Applying the
+    resize as a matmul maps onto the MXU instead of 4-tap gathers."""
+    pos = jnp.arange(out_size, dtype=jnp.float32)
+    src = (pos + 0.5) * (in_size / out_size) - 0.5
+    base = jnp.floor(src).astype(jnp.int32)
+    mat = jnp.zeros((out_size, in_size), jnp.float32)
+    for k in range(-1, 3):
+        idx = base + k
+        w = _cubic_kernel(src - idx.astype(jnp.float32), a)
+        idx = jnp.clip(idx, 0, in_size - 1)  # border replication
+        mat = mat.at[pos.astype(jnp.int32), idx].add(w)
+    return mat
+
+
+def resize_bicubic(x: Array, out_hw, spatial_axes=(-3, -2), a: float = -0.75) -> Array:
+    """Bicubic resize matching torch `F.interpolate(mode='bicubic',
+    align_corners=False)` bitward (a=-0.75, half-pixel, replicated borders) —
+    the reference's ViT input rescale (mvsformer_model.py:215,360). Separable
+    matmuls along each axis (MXU-friendly)."""
     h_ax = spatial_axes[0] % x.ndim
     w_ax = spatial_axes[1] % x.ndim
-    shape = list(x.shape)
-    shape[h_ax] = out_hw[0]
-    shape[w_ax] = out_hw[1]
-    return jax.image.resize(x, shape, method="cubic")
+    dtype = x.dtype
+
+    def apply_axis(x, axis, out_size):
+        in_size = x.shape[axis]
+        if in_size == out_size:
+            return x
+        mat = _cubic_matrix(in_size, out_size, a).astype(jnp.float32)
+        xm = jnp.moveaxis(x, axis, -1).astype(jnp.float32)
+        y = jnp.einsum("...i,oi->...o", xm, mat)
+        return jnp.moveaxis(y, -1, axis)
+
+    x = apply_axis(x, h_ax, out_hw[0])
+    x = apply_axis(x, w_ax, out_hw[1])
+    return x.astype(dtype)

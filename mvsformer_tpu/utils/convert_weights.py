@@ -13,9 +13,11 @@ re-laid-out into this framework's pytree:
 - qkv packing: torch qkv.weight rows are [q; k; v] (timm/DINO convention);
   flax qkv kernel columns follow the same order after transpose.
 
-Also converts full reference MVSFormer checkpoints' `vit.` subtree so users
-can port their trained backbones; cascade-head weights are architecture-new
-here (NHWC convs, different norm bootstrapping) and are NOT converted.
+Full reference checkpoints convert too: `convert_full_twin` /
+`convert_full_dino` / `load_reference_checkpoint` map EVERY tensor (FPN
+encoder/decoder, decoders, StageNet vis CNNs, cost-reg U-Nets, backbone, BN
+running stats) so trained reference MVSFormer checkpoints run in this
+framework — parity is pinned per-stage by tests/test_reference_parity.py.
 """
 
 from __future__ import annotations
@@ -209,3 +211,197 @@ def merge_pretrained_backbone(params: dict, path: str, arch: str,
     new_params = dict(params)
     new_params[subtree] = _merge(params[subtree], conv_tree)
     return new_params
+
+
+# ---------------------------------------------------------------------------
+# Full-model conversion (cascade heads + backbone): enables loading reference
+# MVSFormer checkpoints (models/mvsformer_model.py TwinMVSNet) into this
+# framework for inference/finetuning without retraining. The conv blocks here
+# use torch-aligned explicit padding (models/blocks.py _torch_pad), so the
+# conversion is numerically exact up to float accumulation order.
+# ---------------------------------------------------------------------------
+
+
+def _deconv(w):
+    """torch ConvTranspose{2,3}d weight [in, out, k...] -> flax ConvTranspose
+    kernel (k..., in, out), spatially flipped (lax.conv_transpose does not
+    flip; torch's transposed conv corresponds to the flipped kernel)."""
+    if w is None:
+        return None
+    w = np.asarray(w)
+    nd = w.ndim - 2
+    w = np.moveaxis(w, (0, 1), (nd, nd + 1))
+    return w[(slice(None, None, -1),) * nd].copy()
+
+
+class _TreePair:
+    """Accumulates a (params, batch_stats) pair of nested dicts."""
+
+    def __init__(self):
+        self.params: dict = {}
+        self.stats: dict = {}
+
+
+def _conv_block(out, sd, src, dst, conv_transform=_conv, conv_key="conv",
+                bn_key="bn", want_bias=False):
+    """torch Conv{2,3}d+BN wrapper -> flax <dst>/Conv_0 + Norm_0/BatchNorm_0."""
+    layer = "ConvTranspose_0" if conv_transform is _deconv else "Conv_0"
+    _set(out.params, f"{dst}/{layer}/kernel",
+         conv_transform(sd.get(f"{src}.{conv_key}.weight")))
+    bias = sd.get(f"{src}.{conv_key}.bias")
+    if bias is not None and want_bias:
+        _set(out.params, f"{dst}/{layer}/bias", bias)
+    bn = f"{src}.{bn_key}"
+    if f"{bn}.weight" in sd:
+        _set(out.params, f"{dst}/Norm_0/BatchNorm_0/scale", sd.get(f"{bn}.weight"))
+        _set(out.params, f"{dst}/Norm_0/BatchNorm_0/bias", sd.get(f"{bn}.bias"))
+        mean = np.asarray(sd.get(f"{bn}.running_mean"))
+        if bias is not None and not want_bias:
+            # conv bias immediately before BN is absorbed by normalization;
+            # shift the running mean so eval-mode outputs are identical.
+            mean = mean - np.asarray(bias)
+        _set(out.stats, f"{dst}/Norm_0/BatchNorm_0/mean", mean)
+        _set(out.stats, f"{dst}/Norm_0/BatchNorm_0/var", sd.get(f"{bn}.running_var"))
+
+
+def _plain_conv(out, sd, src, dst, transform=_conv):
+    _set(out.params, f"{dst}/kernel", transform(sd.get(f"{src}.weight")))
+    if f"{src}.bias" in sd:
+        _set(out.params, f"{dst}/bias", sd.get(f"{src}.bias"))
+
+
+def _cost_reg(out, sd, src, dst, three_d_variant: bool):
+    """CostRegNet (module.py:469-505) / CostRegNet3D (module.py:550-594)."""
+    for n in (1, 2, 3, 4, 5, 6):
+        _conv_block(out, sd, f"{src}.conv{n}", f"{dst}/conv{n}",
+                    conv_transform=_conv3d)
+    for n in (7, 9, 11):
+        if three_d_variant:
+            # Sequential(ConvTranspose3d, BN, ReLU): keys conv{n}.0 / conv{n}.1
+            _conv_block(out, sd, f"{src}.conv{n}", f"{dst}/conv{n}",
+                        conv_transform=_deconv, conv_key="0", bn_key="1")
+        else:
+            _conv_block(out, sd, f"{src}.conv{n}", f"{dst}/conv{n}",
+                        conv_transform=_deconv)
+    if f"{src}.inner.weight" in sd:
+        _plain_conv(out, sd, f"{src}.inner", f"{dst}/inner", _conv3d)
+    _plain_conv(out, sd, f"{src}.prob", f"{dst}/prob", _conv3d)
+
+
+def _conv3d(w):
+    if w is None:
+        return None
+    return np.transpose(np.asarray(w), (2, 3, 4, 1, 0))
+
+
+def convert_full_twin(state_dict: dict, ndepths=(32, 16, 8, 4), model_th=8,
+                      vit_depths=(2, 2, 10, 4)):
+    """Full reference TwinMVSNet state_dict -> (params, batch_stats) trees.
+
+    Covers: FPN encoder/decoder (mvsformer_model.py:320-324), Twins backbone
+    (vit.*, via convert_twins), TwinDecoderStage4 (module.py:389-413), and the
+    4 StageNets' vis CNNs + cost-regularization U-Nets
+    (mvsformer_model.py:26-160).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out = _TreePair()
+
+    # FPN encoder: Conv2d wrapper blocks (conv + BN, no conv bias).
+    for name in ("conv00", "conv01", "downsample1", "conv10", "conv11",
+                 "downsample2", "conv20", "conv21", "downsample3",
+                 "conv30", "conv31"):
+        _conv_block(out, sd, f"encoder.{name}", f"encoder/{name}")
+
+    # FPN decoder: outK = Sequential(conv(with bias), BN, Swish); innerK plain.
+    for k in range(4):
+        _conv_block(out, sd, f"decoder.out{k}", f"decoder/out{k}",
+                    conv_key="0", bn_key="1", want_bias=True)
+    for k in (1, 2, 3):
+        _plain_conv(out, sd, f"decoder.inner{k}", f"decoder/inner{k}")
+
+    # Twin decoder (module.py:389-413): upsampler0 = Sequential(deconv, BN,
+    # GELU); innerK plain 1x1; smoothK = Sequential(conv, BN, GELU).
+    if "decoder_vit.upsampler0.0.weight" in sd:
+        _conv_block(out, sd, "decoder_vit.upsampler0", "decoder_vit/upsampler0",
+                    conv_transform=_deconv, conv_key="0", bn_key="1")
+        for k in (1, 2, 3):
+            _plain_conv(out, sd, f"decoder_vit.inner{k}", f"decoder_vit/inner{k}")
+            _conv_block(out, sd, f"decoder_vit.smooth{k}", f"decoder_vit/smooth{k}",
+                        conv_key="0", bn_key="1", want_bias=True)
+
+    # Stage nets.
+    for i, nd in enumerate(ndepths):
+        src = f"fusions.{i}"
+        dst = f"stage{i + 1}"
+        for j in (0, 1, 2):
+            _conv_block(out, sd, f"{src}.vis.{j}", f"{dst}/vis/conv{j}")
+        _plain_conv(out, sd, f"{src}.vis.3", f"{dst}/vis/conv3")
+        _cost_reg(out, sd, f"{src}.cost_reg", f"{dst}/cost_reg",
+                  three_d_variant=nd <= model_th)
+
+    # Backbone.
+    vit_sd = {k[len("vit."):]: v for k, v in sd.items() if k.startswith("vit.")}
+    if vit_sd:
+        out.params["vit"] = convert_twins(vit_sd, vit_depths)
+
+    return out.params, out.stats
+
+
+def load_reference_checkpoint(path: str, ndepths=(32, 16, 8, 4), model_th=8,
+                              vit_depths=(2, 2, 10, 4)):
+    """Load a full reference MVSFormer checkpoint (torch .pth with
+    {'state_dict': ...} or raw) -> (params, batch_stats)."""
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+    sd = {k.removeprefix("module."): (v.detach().numpy() if hasattr(v, "detach")
+                                      else np.asarray(v))
+          for k, v in sd.items()}
+    if "decoder_vit.attn.conv_l.0.weight" in sd:  # DINOMVSNet layout
+        return convert_full_dino(sd, ndepths, model_th)
+    return convert_full_twin(sd, ndepths, model_th, vit_depths)
+
+
+def convert_full_dino(state_dict: dict, ndepths=(32, 16, 8, 4), model_th=8,
+                      vit_depth=12):
+    """Full reference DINOMVSNet state_dict -> (params, batch_stats)
+    (mvsformer_model.py:163-308 with VITDecoderStage4Single,
+    module.py:353-368, and AttentionFusionSimple, module.py:450-466)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    out = _TreePair()
+
+    for name in ("conv00", "conv01", "downsample1", "conv10", "conv11",
+                 "downsample2", "conv20", "conv21", "downsample3",
+                 "conv30", "conv31"):
+        _conv_block(out, sd, f"encoder.{name}", f"encoder/{name}")
+    for k in range(4):
+        _conv_block(out, sd, f"decoder.out{k}", f"decoder/out{k}",
+                    conv_key="0", bn_key="1", want_bias=True)
+    for k in (1, 2, 3):
+        _plain_conv(out, sd, f"decoder.inner{k}", f"decoder/inner{k}")
+
+    # AttentionFusionSimple + 2-deconv decoder.
+    _conv_block(out, sd, "decoder_vit.attn.conv_l", "decoder_vit/attn/conv_l",
+                conv_key="0", bn_key="1", want_bias=True)
+    _conv_block(out, sd, "decoder_vit.attn.conv_r", "decoder_vit/attn/conv_r",
+                conv_key="0", bn_key="1", want_bias=True)
+    _plain_conv(out, sd, "decoder_vit.attn.proj", "decoder_vit/attn/proj")
+    _conv_block(out, sd, "decoder_vit.decoder", "decoder_vit/deconv1",
+                conv_transform=_deconv, conv_key="0", bn_key="1")
+    _conv_block(out, sd, "decoder_vit.decoder", "decoder_vit/deconv2",
+                conv_transform=_deconv, conv_key="3", bn_key="4")
+
+    for i, nd in enumerate(ndepths):
+        src = f"fusions.{i}"
+        dst = f"stage{i + 1}"
+        for j in (0, 1, 2):
+            _conv_block(out, sd, f"{src}.vis.{j}", f"{dst}/vis/conv{j}")
+        _plain_conv(out, sd, f"{src}.vis.3", f"{dst}/vis/conv3")
+        _cost_reg(out, sd, f"{src}.cost_reg", f"{dst}/cost_reg",
+                  three_d_variant=nd <= model_th)
+
+    vit_sd = {k[len("vit."):]: v for k, v in sd.items() if k.startswith("vit.")}
+    if vit_sd:
+        out.params["vit"] = convert_dino_vit(vit_sd, vit_depth)
+    return out.params, out.stats

@@ -28,6 +28,11 @@ def main():
     parser.add_argument("--ckpt_dir", required=True,
                         help="run dir containing model_best + config.json")
     parser.add_argument("--which_ckpt", default="model_best")
+    parser.add_argument("--torch_ckpt", default=None,
+                        help="run a reference torch MVSFormer checkpoint "
+                             "(.pth) directly: converted in-memory via "
+                             "convert_full_twin instead of restoring an "
+                             "orbax checkpoint")
     parser.add_argument("--outdir", required=True)
     parser.add_argument("--num_view", type=int, default=5,
                         help="views per reference (T&T benchmarks use 10-20)")
@@ -115,11 +120,20 @@ def main():
             lambda k: model.init(k, dummy_imgs, dummy_projs, dummy_dv, training=False)
         )(jax.random.PRNGKey(0))
 
-        ckpt = CheckpointManager(args.ckpt_dir)
-        state, _ = ckpt.restore(args.which_ckpt, {
-            "params": variables["params"],
-            "batch_stats": variables.get("batch_stats", {}),
-        })
+        if args.torch_ckpt:
+            from mvsformer_tpu.utils.convert_weights import load_reference_checkpoint
+
+            p, bs = load_reference_checkpoint(
+                args.torch_ckpt, ndepths=tuple(cfg.arch.ndepths),
+                model_th=cfg.arch.model_th)
+            state = {"params": jax.tree.map(jnp.asarray, p),
+                     "batch_stats": jax.tree.map(jnp.asarray, bs)}
+        else:
+            ckpt = CheckpointManager(args.ckpt_dir)
+            state, _ = ckpt.restore(args.which_ckpt, {
+                "params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {}),
+            })
         tmps = [float(t) for t in args.tmps.split(",")]
         if ":" in args.interval_scale:
             interval_scale = {
