@@ -76,13 +76,14 @@ class FusionDataset:
 def fuse_scan(pair_folder, scan_folder, plyfilename, method="pcd",
               prob_threshold=(0.5,), thres_view=5, dist_thresh=1.0,
               rel_diff_thresh=0.01, dist_base=4.0, rel_diff_base=1300.0,
-              n_src_views=10, logger=print):
+              disp_thresh=0.1, num_consistent=2, n_src_views=10, logger=print):
     """Fuse one scan's depth maps into a PLY point cloud.
 
     method: 'pcd' (static, test.py:404-472) | 'dpcd' (dynamic,
-    test.py:475-549). Source depths are confidence-pre-masked like the
-    reference (src conf below threshold zeroes the depth => fails the
-    rel-diff check).
+    test.py:475-549) | 'gipuma' (fusibile-equivalent disparity-space
+    consistency, misc/gipuma.py:192-213). Source depths are
+    confidence-pre-masked like the reference (src conf below threshold zeroes
+    the depth => fails the consistency check).
     """
     ds = FusionDataset(pair_folder, scan_folder, n_src_views)
     prob_threshold = tuple(prob_threshold)
@@ -91,6 +92,9 @@ def fuse_scan(pair_folder, scan_folder, plyfilename, method="pcd",
         fuse_fn = jax.jit(lambda rd, sd, rc, sc, conf: fusion_ops.fuse_pcd(
             rd, sd, rc, sc, conf, prob_threshold, dist_thresh, rel_diff_thresh,
             thres_view))
+    elif method == "gipuma":
+        fuse_fn = jax.jit(lambda rd, sd, rc, sc, conf: fusion_ops.fuse_gipuma(
+            rd, sd, rc, sc, conf, prob_threshold, disp_thresh, num_consistent))
     else:
         fuse_fn = jax.jit(lambda rd, sd, rc, sc, conf: fusion_ops.fuse_dpcd(
             rd, sd, rc, sc, conf, prob_threshold, dist_base, rel_diff_base))

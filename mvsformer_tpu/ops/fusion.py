@@ -202,3 +202,67 @@ def fuse_dpcd(ref_depth, src_depths, ref_cam, src_cams, ref_conf,
     mask = prob_mask & geo_mask
     points = back_project(fused, ref_cam)
     return mask, fused, points
+
+
+def vis_filter_disparity(ref_depth: Array, src_depths: Array, ref_cam: Array,
+                         src_cams: Array, disp_thresh: float,
+                         num_consistent: int):
+    """Fusibile-style consistency in DISPARITY space (the semantics behind
+    misc/gipuma.py:192-213's --disp_thresh / --num_consistent flags).
+
+    For each reference pixel: project its 3D point into source view v giving
+    depth z_v; sample that view's own depth estimate d_v at the landing
+    pixel; view v confirms the pixel when the equivalent-disparity difference
+    f_v * b_v * |1/z_v - 1/d_v| < disp_thresh, where b_v is the camera-centre
+    baseline and f_v the source focal length. This converts a metric depth
+    difference into the resolution-aware pixel-disparity unit fusibile
+    thresholds on, removing the previous dist_thresh = 10*disp heuristic.
+
+    Returns (per-view masks [B,V,H,W], combined [B,H,W]).
+    """
+    B, H, W = ref_depth.shape
+    world = back_project(ref_depth, ref_cam)
+    ref_ext, _ = _cam_parts(ref_cam)
+    ref_center = jnp.linalg.inv(ref_ext)[..., :3, 3]  # [B,3]
+
+    def per_view(src_depth, src_cam):
+        xy, z = project(world, src_cam)
+        px = xy[..., 0].reshape(B, -1) - 0.5
+        py = xy[..., 1].reshape(B, -1) - 0.5
+        d_v = bilinear_sample(src_depth[..., None], px, py).reshape(B, H, W)
+        ext, K = _cam_parts(src_cam)
+        center = jnp.linalg.inv(ext)[..., :3, 3]
+        b = jnp.linalg.norm(center - ref_center, axis=-1)  # [B]
+        f = K[..., 0, 0]
+        fb = (f * b)[:, None, None]
+        disp_diff = fb * jnp.abs(1.0 / jnp.maximum(z, 1e-6)
+                                 - 1.0 / jnp.maximum(d_v, 1e-6))
+        inside = (xy[..., 0] >= 0) & (xy[..., 0] < W) & \
+                 (xy[..., 1] >= 0) & (xy[..., 1] < H)
+        return (disp_diff < disp_thresh) & (d_v > 0) & (z > 0) & inside
+
+    masks = jax.vmap(per_view, in_axes=(1, 1), out_axes=1)(src_depths, src_cams)
+    combined = masks.sum(axis=1) >= num_consistent
+    return masks, combined
+
+
+def fuse_gipuma(ref_depth, src_depths, ref_cam, src_cams, ref_conf,
+                prob_threshold, disp_thresh=0.1, num_consistent=2):
+    """Fusibile-equivalent fusion for one reference view: probability
+    pre-filter (misc/gipuma.py:160-189) + disparity-space consistency +
+    visibility-averaged depth. Returns (mask, fused_depth, world_points)."""
+    if ref_conf.ndim == 4:
+        prob_mask = jnp.ones(ref_conf.shape[:1] + ref_conf.shape[2:], bool)
+        for i, th in enumerate(prob_threshold):
+            prob_mask = prob_mask & (ref_conf[:, i] > th)
+    else:
+        th = prob_threshold[0] if isinstance(prob_threshold, (list, tuple)) else prob_threshold
+        prob_mask = ref_conf > th
+
+    masks, vis_mask = vis_filter_disparity(
+        ref_depth, src_depths, ref_cam, src_cams, disp_thresh, num_consistent)
+    _, d = reproject_all(ref_depth, src_depths, ref_cam, src_cams)
+    fused = ave_fusion(ref_depth, d, masks & (d > 0))
+    mask = prob_mask & vis_mask
+    points = back_project(fused, ref_cam)
+    return mask, fused, points

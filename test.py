@@ -155,12 +155,12 @@ def main():
             scan_folder = os.path.join(args.outdir, scan)
             ply = os.path.join(args.outdir, f"{scan}.ply")
             if args.filter_method == "gipuma":
-                # fusibile-equivalent thresholds on the device-side path
-                fuse_scan(pair_folder, scan_folder, ply, method="pcd",
+                # fusibile-equivalent: disparity-space consistency with the
+                # same --disp_thresh / --num_consistent semantics
+                fuse_scan(pair_folder, scan_folder, ply, method="gipuma",
                           prob_threshold=prob_threshold,
-                          thres_view=args.num_consistent + 1,
-                          dist_thresh=args.disp_threshold * 10,
-                          rel_diff_thresh=0.01,
+                          disp_thresh=args.disp_threshold,
+                          num_consistent=args.num_consistent,
                           n_src_views=args.fusion_src_views)
             elif args.filter_method == "pcd":
                 fuse_scan(pair_folder, scan_folder, ply, method="pcd",

@@ -221,3 +221,43 @@ def test_fuse_scan_stacked_confidence(tmp_path):
                       prob_threshold=(0.5, 0.5, 0.5, 0.5), thres_view=3,
                       n_src_views=4, logger=lambda *a: None)
     assert 0.3 * n_all < n < 0.7 * n_all, (n, n_all)
+
+
+def test_gipuma_disparity_consistency():
+    """fuse_gipuma thresholds in disparity units f*b*|1/z - 1/d|: a metric
+    depth error passes or fails depending on each view's baseline, matching
+    fusibile's resolution-aware --disp_thresh semantics."""
+    ref_depth, src_depths, ref_cam, src_cams = plane_scene()
+    conf = jnp.asarray(np.ones((1, H, W), np.float32))
+
+    # Exact geometry: every interior pixel confirmed by all views.
+    mask, fused, _ = F.fuse_gipuma(
+        jnp.asarray(ref_depth[None]), jnp.asarray(src_depths[None]),
+        jnp.asarray(ref_cam[None]), jnp.asarray(src_cams[None]), conf,
+        prob_threshold=(0.5,), disp_thresh=0.1, num_consistent=3)
+    m = np.asarray(mask[0])
+    assert m[8:-8, 16:-16].all()
+    np.testing.assert_allclose(np.asarray(fused[0])[m], DEPTH, rtol=1e-4)
+
+    # +100 depth error in every source: disparity error scales with baseline
+    # b_v (f*b*100/(500*600) = 0.2, 0.4, 0.6, 0.8 px for b=5,10,15,20).
+    bad = src_depths + 100.0
+    mask, _, _ = F.fuse_gipuma(
+        jnp.asarray(ref_depth[None]), jnp.asarray(bad[None]),
+        jnp.asarray(ref_cam[None]), jnp.asarray(src_cams[None]), conf,
+        prob_threshold=(0.5,), disp_thresh=0.1, num_consistent=2)
+    assert not np.asarray(mask[0]).any()
+
+    # At 0.5 px tolerance only the two nearest baselines (0.2, 0.4) pass ->
+    # num_consistent=2 keeps, num_consistent=3 rejects.
+    mask2, _, _ = F.fuse_gipuma(
+        jnp.asarray(ref_depth[None]), jnp.asarray(bad[None]),
+        jnp.asarray(ref_cam[None]), jnp.asarray(src_cams[None]), conf,
+        prob_threshold=(0.5,), disp_thresh=0.5, num_consistent=2)
+    m2 = np.asarray(mask2[0])
+    assert m2[8:-8, 16:-16].all()
+    mask3, _, _ = F.fuse_gipuma(
+        jnp.asarray(ref_depth[None]), jnp.asarray(bad[None]),
+        jnp.asarray(ref_cam[None]), jnp.asarray(src_cams[None]), conf,
+        prob_threshold=(0.5,), disp_thresh=0.5, num_consistent=3)
+    assert not np.asarray(mask3[0]).any()
