@@ -265,7 +265,7 @@ def orchestrate(args):
 
     if args.all:
         details = {}
-        for v in ("xla", "v1", "v2"):
+        for v in ("xla", "v1", "v2", "v3"):
             rec = _run_worker(v, args.timeout)
             details[f"eval_{v}"] = rec
             sys.stderr.write(f"[bench] eval {v}: {json.dumps(rec)}\n")
@@ -277,7 +277,8 @@ def orchestrate(args):
             json.dump(details, f, indent=2)
         # headline = best eval variant
         best = max((r for r in (details.get("eval_xla"), details.get("eval_v1"),
-                                details.get("eval_v2")) if r),
+                                details.get("eval_v2"),
+                                details.get("eval_v3")) if r),
                    key=lambda r: r["value"], default=None)
         print(json.dumps(best if best else attempt_chain()))
         return
@@ -295,7 +296,7 @@ def main():
     parser.add_argument("--no_fused", action="store_true",
                         help="disable the Pallas fused warp kernel")
     parser.add_argument("--variant", default="xla",
-                        choices=["xla", "v1", "v2"],
+                        choices=["xla", "v1", "v2", "v3"],
                         help="warp+correlation implementation to benchmark")
     parser.add_argument("--train", action="store_true",
                         help="benchmark the training step instead of eval")

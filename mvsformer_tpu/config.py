@@ -57,7 +57,8 @@ class ModelConfig:
     eval_view_chunk: int = 0  # >0: eval backbone processes views in chunks of
     # this many (HBM valve at large eval shapes, the TPU analog of the
     # reference's eval-time python view loop, mvsformer_model.py:379-399)
-    fused_variant: int = 1  # 1 = row-batched matmul, 2 = transpose-free
+    fused_variant: int = 1  # 1 = row-batched matmul, 2 = transpose-free,
+    # 3 = transpose-free + per-row y-windows (KR=4 x-matmuls)
     fused_train_warp: bool = False  # kernel fwd + XLA-recompute bwd in training
     vit_args: ViTConfig = field(default_factory=ViTConfig)
 

@@ -113,9 +113,10 @@ class StageNet(nn.Module):
             if fused:
                 from mvsformer_tpu.ops.pallas import warp_corr as wc
 
-                kernel_fn = (wc.plane_sweep_group_corr_v2
-                             if self.fused_variant == 2
-                             else wc.plane_sweep_group_corr)
+                kernel_fn = {
+                    2: wc.plane_sweep_group_corr_v2,
+                    3: wc.plane_sweep_group_corr_v3,
+                }.get(self.fused_variant, wc.plane_sweep_group_corr)
                 corr, invalid = kernel_fn(
                     ref32, src_feats[:, v].astype(jnp.float32), src_proj_full,
                     ref_proj_full, dv32, groups=G,

@@ -534,3 +534,253 @@ def plane_sweep_group_corr_v2(
 
     out = jnp.transpose(out[:, :, :H, :, :W], (0, 1, 2, 4, 3))
     return out, invalid
+
+
+# ---------------------------------------------------------------------------
+# v3: v2 orientation + PER-ROW y-windows (DESIGN.md roadmap #3).
+#
+# v1/v2 contract a K-row band per 8-row block, forcing K >= ROWS+1+tilt (~12)
+# even though each output row's bilinear support is only 2 source rows
+# (+epipolar tilt across the 128-lane tile). v3 keeps the block-level band DMA
+# (amortized HBM traffic) but slices a KR-row (default 4) per-row window out
+# of the in-VMEM band for the x-matmul: [KR*C, JT] @ [JT, XT] — KR/K ~ 3x
+# fewer MACs — and a KR-step y-combine. Per-row window starts are
+# scalar-prefetched ([B*D*HB*NXT*ROWS] i32, host-clamped into the band).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v3(
+    y_start_ref,  # scalar-prefetch [B*D*HB] i32 (band starts)
+    x_start_ref,  # scalar-prefetch [B*D*HB*NXT] i32
+    y_off_ref,  # scalar-prefetch [B*D*HB*NXT*ROWS] i32 (row window - band)
+    px_ref,  # [1, DP, 1, ROWS, XT] f32
+    py_ref,  # [1, DP, 1, ROWS, XT] f32
+    ref_ref,  # [1, ROWS, C, XT] (HCW tile)
+    src_ref,  # [1, H+K, C, WSRC] (HBM; manual DMA)
+    out_ref,  # [1, DP, ROWS, G, XT] f32
+    band_ref,  # scratch [2, DP, K, C, WSRC]
+    sem,  # DMA semaphores [2, DP]
+    *,
+    K: int,
+    KR: int,
+    JT: int,
+    C: int,
+    G: int,
+    HB: int,
+    NXT: int,
+    DP: int,
+):
+    b = pl.program_id(0)
+    dblk = pl.program_id(1)
+    hb = pl.program_id(2)
+    xt = pl.program_id(3)
+    NDBLK = pl.num_programs(1)
+    D = NDBLK * DP
+
+    n_step = dblk * HB + hb
+    slot = jax.lax.rem(n_step, 2)
+
+    def dma(step_idx, slot_idx, dp):
+        dd = step_idx // HB
+        hh = jax.lax.rem(step_idx, HB)
+        flat_row = (b * D + dd * DP + dp) * HB + hh
+        y0 = y_start_ref[flat_row]
+        return pltpu.make_async_copy(
+            src_ref.at[0, pl.ds(y0, K)], band_ref.at[slot_idx, dp],
+            sem.at[slot_idx, dp])
+
+    @pl.when(xt == 0)
+    def _():
+        @pl.when(n_step == 0)
+        def _():
+            for dp in range(DP):
+                dma(n_step, slot, dp).start()
+        for dp in range(DP):
+            dma(n_step, slot, dp).wait()
+
+        @pl.when(n_step + 1 < NDBLK * HB)
+        def _():
+            for dp in range(DP):
+                dma(n_step + 1, 1 - slot, dp).start()
+
+    cg = C // G
+    gi = jax.lax.broadcasted_iota(jnp.int32, (G, C), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (G, C), 1)
+    gmat_t = ((ci // cg) == gi).astype(jnp.float32) / float(cg)  # [G, C]
+
+    for dp in range(DP):
+        flat_row = (b * D + dblk * DP + dp) * HB + hb
+        y0 = y_start_ref[flat_row]
+        x0 = pl.multiple_of(x_start_ref[flat_row * NXT + xt], 128)
+
+        j_abs = x0.astype(jnp.float32) + jax.lax.broadcasted_iota(
+            jnp.int32, (JT, 1), 0).astype(jnp.float32)
+        kr_iota = jax.lax.broadcasted_iota(jnp.int32, (KR, 1), 0).astype(
+            jnp.float32)
+
+        for r in range(ROWS):
+            off = y_off_ref[(flat_row * NXT + xt) * ROWS + r]
+            band_r = band_ref[slot, dp, pl.ds(off, KR), :,
+                              pl.ds(x0, JT)].reshape(KR * C, JT)
+            px_r = px_ref[0, dp, 0, r].reshape(1, XT)
+            py_r = py_ref[0, dp, 0, r].reshape(1, XT)
+            wxt = jnp.maximum(1.0 - jnp.abs(j_abs - px_r), 0.0)  # [JT, XT]
+            p = jax.lax.dot_general(
+                band_r, wxt.astype(band_r.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [KR*C, XT]
+            k_abs = (y0 + off).astype(jnp.float32) + kr_iota  # [KR, 1]
+            wy = jnp.maximum(1.0 - jnp.abs(k_abs - py_r), 0.0)  # [KR, XT]
+            warped = jnp.zeros((C, XT), jnp.float32)
+            for k in range(KR):
+                warped = warped + wy[k:k + 1] * p[k * C:(k + 1) * C]
+            prod = ref_ref[0, r].astype(jnp.float32) * warped  # [C, XT]
+            corr = jax.lax.dot_general(
+                gmat_t, prod,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, XT]
+            out_ref[0, dp, r] = corr
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "band_rows", "band_cols",
+                                             "row_band", "want_invalid",
+                                             "bf16_band"))
+def plane_sweep_group_corr_v3(
+    ref_fea,  # [B, H, W, C]
+    src_fea,  # [B, H, W, C]
+    src_proj,  # [B, 4, 4] composed
+    ref_proj,  # [B, 4, 4] composed
+    depth_values,  # [B, D, H, W] or [B, D]
+    groups: int = 8,
+    band_rows: int = 12,
+    band_cols: int = 384,
+    row_band: int = 4,
+    want_invalid: bool = True,
+    bf16_band: bool = False,
+):
+    """Per-row-windowed variant of plane_sweep_group_corr_v2 (same contract).
+
+    row_band KR bounds each output row's y support (2 bilinear taps +
+    epipolar tilt across one 128-lane tile); rows whose support exceeds the
+    window are flagged invalid like the other band clips."""
+    from mvsformer_tpu.ops.geometry import plane_sweep_coords
+
+    B, H, W, C = ref_fea.shape
+    D = depth_values.shape[1]
+    K, JT, KR = band_rows, band_cols, row_band
+    assert KR <= K
+    G = groups
+
+    px, py, invalid = plane_sweep_coords(
+        src_proj.astype(jnp.float32), ref_proj.astype(jnp.float32),
+        depth_values.astype(jnp.float32), H, W)
+    px = jax.lax.stop_gradient(px).reshape(B, D, H, W)
+    py = jax.lax.stop_gradient(py).reshape(B, D, H, W)
+
+    Hp = -(-H // ROWS) * ROWS
+    Wp = -(-W // XT) * XT
+    HB = Hp // ROWS
+    NXT = Wp // XT
+
+    def edge_pad(x, target, axis):
+        pad = target - x.shape[axis]
+        if pad <= 0:
+            return x
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (0, pad)
+        return jnp.pad(x, cfg, mode="edge")
+
+    pxp = edge_pad(edge_pad(px, Hp, 2), Wp, 3)
+    pyp = edge_pad(edge_pad(py, Hp, 2), Wp, 3)
+
+    if bf16_band:
+        src_fea = src_fea.astype(jnp.bfloat16)
+        ref_fea = ref_fea.astype(jnp.bfloat16)
+    max_x0 = (W // 128) * 128
+    WSRC = max_x0 + JT
+    src_hcw = jnp.transpose(src_fea, (0, 1, 3, 2))  # [B, H, C, W]
+    src_hcw = _pad_to(_pad_to(src_hcw, H + K, 1), WSRC, 3)
+    ref_hcw = jnp.transpose(ref_fea, (0, 1, 3, 2))
+    ref_hcw = _pad_to(_pad_to(ref_hcw, Hp, 1), Wp, 3)
+
+    py_blk = pyp.reshape(B, D, HB, ROWS, Wp)
+    y_min = jnp.floor(py_blk.min(axis=(3, 4))).astype(jnp.int32)
+    y_start = jnp.clip(y_min, 0, H)
+    px_blk = pxp.reshape(B, D, HB, ROWS, NXT, XT)
+    x_min = jnp.floor(px_blk.min(axis=(3, 5))).astype(jnp.int32)
+    x_start = jnp.clip((x_min // 128) * 128, 0, max_x0)
+
+    # Per-(row, x-tile) y windows inside the band: [B, D, HB, NXT, ROWS].
+    py_rt = pyp.reshape(B, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
+    y_row_min = jnp.floor(py_rt.min(axis=-1)).astype(jnp.int32)
+    y_off = jnp.clip(y_row_min - y_start[:, :, :, None, None], 0, K - KR)
+    y_row_start = y_start[:, :, :, None, None] + y_off
+
+    if want_invalid:
+        # Support must fit the per-row window [y_row_start, +KR-1] and the
+        # x window (same as v1/v2).
+        y_lo = y_row_start.astype(jnp.float32)[..., None]
+        oob_y = (py_rt < y_lo) | (py_rt > y_lo + (KR - 1))
+        oob_y = oob_y.transpose(0, 1, 2, 4, 3, 5).reshape(B, D, Hp, Wp)[:, :, :H, :W]
+        x_hi = x_start.astype(jnp.float32)[:, :, :, None, :, None] + (JT - 1)
+        x_lo = x_start.astype(jnp.float32)[:, :, :, None, :, None]
+        oob_x = (px_blk < x_lo) | (px_blk > x_hi)
+        oob_x = oob_x.reshape(B, D, Hp, Wp)[:, :, :H, :W]
+        invalid = invalid | oob_x | oob_y
+    else:
+        invalid = None
+
+    band_bytes = K * C * WSRC * (2 if bf16_band else 4)
+    DP = 1
+    for cand in (4, 2):
+        if D % cand == 0 and 2 * cand * band_bytes <= 12 * 1024 * 1024:
+            DP = cand
+            break
+    grid = (B, D // DP, HB, NXT)
+    kernel = functools.partial(_kernel_v3, K=K, KR=KR, JT=JT, C=C, G=G, HB=HB,
+                               NXT=NXT, DP=DP)
+
+    px5 = pxp.reshape(B, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
+    px5 = px5.reshape(B, D, HB * NXT, ROWS, XT)
+    py5 = pyp.reshape(B, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
+    py5 = py5.reshape(B, D, HB * NXT, ROWS, XT)
+    # y_off flat index: (((b*D+d)*HB+h)*NXT+x)*ROWS+r.
+    y_off_flat = y_off.transpose(0, 1, 2, 3, 4).reshape(-1)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, DP, 1, ROWS, XT),
+                             lambda b, d, h, x, *_: (b, d, h * NXT + x, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, DP, 1, ROWS, XT),
+                             lambda b, d, h, x, *_: (b, d, h * NXT + x, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, ROWS, C, XT),
+                             lambda b, d, h, x, *_: (b, h, 0, x),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, DP, ROWS, G, XT),
+                                   lambda b, d, h, x, *_: (b, d, h, 0, x),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, DP, K, C, WSRC), src_fea.dtype),
+                pltpu.SemaphoreType.DMA((2, DP)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, D, Hp, G, Wp), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(y_start.reshape(-1), x_start.reshape(-1), y_off_flat,
+      px5, py5, ref_hcw, src_hcw)
+
+    out = jnp.transpose(out[:, :, :H, :, :W], (0, 1, 2, 4, 3))
+    return out, invalid

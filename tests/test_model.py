@@ -147,6 +147,7 @@ def test_frozen_backbone_gets_no_grads():
     assert vit_gnorm == 0.0
 
 
+@pytest.mark.slow
 def test_eval_view_chunk_parity(model_and_vars):
     """Chunked-backbone eval (the HBM valve replacing the reference's
     eval-time view loop, mvsformer_model.py:379-399) must agree with the

@@ -114,3 +114,34 @@ def test_fused_train_warp_grads_match_xla(rng):
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-3,
                                    atol=1e-3)
+
+
+@pytest.mark.parametrize("shape", [(48, 128, 4, 8), (40, 192, 6, 16)])
+def test_fused_warp_corr_v3_matches_xla(rng, shape):
+    """v3 (per-row y-windows): exact at pixels inside the per-row band."""
+    H, W, D, C = shape
+    B, G = 1, 8
+    ref = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    src = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    src_proj, ref_proj = random_cameras(rng, B)
+    dv = np.broadcast_to(
+        np.linspace(400, 900, D, dtype=np.float32)[None, :, None, None],
+        (B, D, H, W)).copy()
+    dv += rng.uniform(-2, 2, dv.shape).astype(np.float32)
+
+    warped, invalid_xla = geometry.homo_warp(
+        jnp.asarray(src), jnp.asarray(src_proj), jnp.asarray(ref_proj),
+        jnp.asarray(dv))
+    want = np.asarray(correlation.groupwise_correlation(jnp.asarray(ref), warped, G))
+
+    with pltpu.force_tpu_interpret_mode():
+        got, invalid = warp_corr.plane_sweep_group_corr_v3(
+            jnp.asarray(ref), jnp.asarray(src), jnp.asarray(src_proj),
+            jnp.asarray(ref_proj), jnp.asarray(dv), groups=G,
+            band_rows=16, band_cols=256, row_band=4)
+    got = np.asarray(got)
+    invalid = np.asarray(invalid)
+    valid = ~invalid
+    np.testing.assert_allclose(got[valid], want[valid], rtol=2e-4, atol=2e-4)
+    assert (np.asarray(invalid_xla) <= invalid).all()
+    assert valid.mean() > 0.5

@@ -21,7 +21,13 @@ from mvsformer_tpu.utils.convert_weights import (
 from tests.test_convert import synth_twins_sd, tree_shapes
 
 
-def test_merge_pretrained_backbone_from_disk(tmp_path, rng):
+@pytest.fixture(scope="module")
+def backbone_variables():
+    backbone = alt_gvt_small(dtype=jnp.float32)
+    return backbone.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+
+
+def test_merge_pretrained_backbone_from_disk(tmp_path, rng, backbone_variables):
     import torch
 
     sd = synth_twins_sd(rng)
@@ -29,8 +35,7 @@ def test_merge_pretrained_backbone_from_disk(tmp_path, rng):
     torch.save({"state_dict": {"vit." + k: torch.from_numpy(v)
                                for k, v in sd.items()}}, path)
 
-    backbone = alt_gvt_small(dtype=jnp.float32)
-    variables = backbone.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    variables = backbone_variables
     other = {"kernel": np.ones((3, 3), np.float32)}
     params = {"vit": variables["params"], "head": other}
 
@@ -58,7 +63,7 @@ def test_merge_pretrained_backbone_from_disk(tmp_path, rng):
         - sd["blocks.0.0.mlp.fc1.weight"].T).max()) > 1e-3
 
 
-def test_merge_reports_missing_keys(tmp_path, rng):
+def test_merge_reports_missing_keys(tmp_path, rng, backbone_variables):
     import torch
 
     sd = synth_twins_sd(rng)
@@ -67,9 +72,7 @@ def test_merge_reports_missing_keys(tmp_path, rng):
     path = str(tmp_path / "partial.pth")
     torch.save({k: torch.from_numpy(v) for k, v in sd.items()}, path)
 
-    backbone = alt_gvt_small(dtype=jnp.float32)
-    variables = backbone.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-    params = {"vit": variables["params"]}
+    params = {"vit": backbone_variables["params"]}
 
     logs = []
     merged = merge_pretrained_backbone(params, path, "alt_gvt_small",
