@@ -86,6 +86,7 @@ def worker(args):
     else:
         cfg.use_fused_warp = True
         cfg.fused_variant = int(args.variant[1:])  # "v1" -> 1
+        cfg.fused_bf16_band = args.bf16_band
     model = build_model(cfg, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
@@ -206,10 +207,13 @@ def worker(args):
 # Orchestrator: spawns workers, retries, falls back, always prints one line.
 # --------------------------------------------------------------------------
 
-def _run_worker(variant, timeout, platform_env=None, train=False, profile=None):
+def _run_worker(variant, timeout, platform_env=None, train=False, profile=None,
+                bf16_band=False):
     """Run one worker subprocess; return parsed JSON record or None."""
     cmd = [sys.executable, os.path.abspath(__file__), "--_worker",
            "--variant", variant]
+    if bf16_band:
+        cmd.append("--bf16_band")
     if train:
         cmd.append("--train")
     if profile:
@@ -269,6 +273,9 @@ def orchestrate(args):
             rec = _run_worker(v, args.timeout)
             details[f"eval_{v}"] = rec
             sys.stderr.write(f"[bench] eval {v}: {json.dumps(rec)}\n")
+        rec = _run_worker("v3", args.timeout, bf16_band=True)
+        details["eval_v3_bf16"] = rec
+        sys.stderr.write(f"[bench] eval v3+bf16: {json.dumps(rec)}\n")
         rec = _run_worker(variant, args.timeout, train=True)
         details["train"] = rec
         sys.stderr.write(f"[bench] train: {json.dumps(rec)}\n")
@@ -300,6 +307,8 @@ def main():
                         help="warp+correlation implementation to benchmark")
     parser.add_argument("--train", action="store_true",
                         help="benchmark the training step instead of eval")
+    parser.add_argument("--bf16_band", action="store_true",
+                        help="bf16 source band in the fused kernel")
     parser.add_argument("--all", action="store_true",
                         help="sweep all variants + train into docs/BENCH_DETAILS.json")
     parser.add_argument("--timeout", type=int, default=2100,

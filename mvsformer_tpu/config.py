@@ -60,6 +60,9 @@ class ModelConfig:
     fused_variant: int = 1  # 1 = row-batched matmul, 2 = transpose-free,
     # 3 = transpose-free + per-row y-windows (KR=4 x-matmuls)
     fused_train_warp: bool = False  # kernel fwd + XLA-recompute bwd in training
+    fused_bf16_band: bool = False  # bf16 source band + tent weights in the
+    # fused kernel (native-MXU bf16 path, fp32 accumulation); validate
+    # accuracy on real DTU before enabling in production
     vit_args: ViTConfig = field(default_factory=ViTConfig)
 
 

@@ -61,8 +61,9 @@ class StageNet(nn.Module):
     view_axis: str | None = None  # mesh axis the source views are sharded over
     use_fused_warp: bool = False  # Pallas fused warp+corr (eval path, TPU)
     fused_band_rows: int = 12
-    fused_variant: int = 1  # 1 = row-batched matmul, 2 = transpose-free
+    fused_variant: int = 1  # 1 = row-batched, 2 = transpose-free, 3 = +row-windows
     fused_train_warp: bool = False
+    fused_bf16_band: bool = False  # bf16 band + tent weights (fp32 accum)
     # Optional NamedSharding for depth-hypothesis-slab sharding of the cost
     # volume over the mesh's "depth" axis. The constraint makes GSPMD shard
     # the 3D cost-regularization U-Net along D (halo exchanges for the 3x3x3
@@ -121,7 +122,8 @@ class StageNet(nn.Module):
                     ref32, src_feats[:, v].astype(jnp.float32), src_proj_full,
                     ref_proj_full, dv32, groups=G,
                     band_rows=self.fused_band_rows,
-                    want_invalid=(self.fusion_type == "epipoleV2"))
+                    want_invalid=(self.fusion_type == "epipoleV2"),
+                    bf16_band=self.fused_bf16_band)
             elif fused_train:
                 from mvsformer_tpu.ops.pallas.warp_corr_train import (
                     fused_warp_corr_train,

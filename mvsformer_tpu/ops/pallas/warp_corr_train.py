@@ -32,8 +32,10 @@ from mvsformer_tpu.ops.pallas import warp_corr
 def fused_warp_corr_train(ref_fea, src_fea, src_proj, ref_proj, depth_values,
                           groups: int = 8, band_rows: int = 12,
                           variant: int = 1):
-    kernel = (warp_corr.plane_sweep_group_corr_v2 if variant == 2
-              else warp_corr.plane_sweep_group_corr)
+    kernel = {
+        2: warp_corr.plane_sweep_group_corr_v2,
+        3: warp_corr.plane_sweep_group_corr_v3,
+    }.get(variant, warp_corr.plane_sweep_group_corr)
     corr, _ = kernel(ref_fea, src_fea, src_proj, ref_proj, depth_values,
                      groups=groups, band_rows=band_rows, want_invalid=False)
     return corr

@@ -145,3 +145,30 @@ def test_fused_warp_corr_v3_matches_xla(rng, shape):
     np.testing.assert_allclose(got[valid], want[valid], rtol=2e-4, atol=2e-4)
     assert (np.asarray(invalid_xla) <= invalid).all()
     assert valid.mean() > 0.5
+
+
+def test_fused_warp_corr_bf16_band(rng):
+    """bf16 band end-to-end: looser tolerance (~2^-8 weight quantization)."""
+    H, W, D, C = 48, 128, 4, 8
+    B, G = 1, 8
+    ref = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    src = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    src_proj, ref_proj = random_cameras(rng, B)
+    dv = np.broadcast_to(
+        np.linspace(400, 900, D, dtype=np.float32)[None, :, None, None],
+        (B, D, H, W)).copy()
+
+    warped, _ = geometry.homo_warp(
+        jnp.asarray(src), jnp.asarray(src_proj), jnp.asarray(ref_proj),
+        jnp.asarray(dv))
+    want = np.asarray(correlation.groupwise_correlation(jnp.asarray(ref), warped, G))
+
+    with pltpu.force_tpu_interpret_mode():
+        got, invalid = warp_corr.plane_sweep_group_corr_v3(
+            jnp.asarray(ref), jnp.asarray(src), jnp.asarray(src_proj),
+            jnp.asarray(ref_proj), jnp.asarray(dv), groups=G,
+            band_rows=16, band_cols=256, bf16_band=True)
+    got = np.asarray(got)
+    valid = ~np.asarray(invalid)
+    np.testing.assert_allclose(got[valid], want[valid], rtol=0.05, atol=0.02)
+    assert valid.mean() > 0.5
