@@ -312,15 +312,26 @@ def convert_full_twin(state_dict: dict, ndepths=(32, 16, 8, 4), model_th=8,
                  "conv30", "conv31"):
         _conv_block(out, sd, f"encoder.{name}", f"encoder/{name}")
 
-    # FPN decoder: outK = Sequential(conv(with bias), BN, Swish); innerK plain.
-    for k in range(4):
-        _conv_block(out, sd, f"decoder.out{k}", f"decoder/out{k}",
-                    conv_key="0", bn_key="1", want_bias=True)
-    for k in (1, 2, 3):
-        _plain_conv(out, sd, f"decoder.inner{k}", f"decoder/inner{k}")
+    if "decoder.upsample1.0.weight" in sd:
+        # Multi-scale FPNDecoderV2 (module.py:273-302): out1..4 conv blocks +
+        # upsample1..3 deconv blocks.
+        for k in (1, 2, 3, 4):
+            _conv_block(out, sd, f"decoder.out{k}", f"decoder/out{k}",
+                        conv_key="0", bn_key="1", want_bias=True)
+        for k in (1, 2, 3):
+            _conv_block(out, sd, f"decoder.upsample{k}", f"decoder/upsample{k}",
+                        conv_transform=_deconv, conv_key="0", bn_key="1")
+    else:
+        # FPNDecoder: outK = Sequential(conv(bias), BN, Swish); innerK plain.
+        for k in range(4):
+            _conv_block(out, sd, f"decoder.out{k}", f"decoder/out{k}",
+                        conv_key="0", bn_key="1", want_bias=True)
+        for k in (1, 2, 3):
+            _plain_conv(out, sd, f"decoder.inner{k}", f"decoder/inner{k}")
 
-    # Twin decoder (module.py:389-413): upsampler0 = Sequential(deconv, BN,
-    # GELU); innerK plain 1x1; smoothK = Sequential(conv, BN, GELU).
+    # Twin decoder (module.py:389-447): upsampler0 = Sequential(deconv, BN,
+    # GELU); innerK plain 1x1; smoothK = Sequential(conv, BN, GELU); the V2
+    # (multi-scale) variant adds decoder1/decoder2 deconv blocks.
     if "decoder_vit.upsampler0.0.weight" in sd:
         _conv_block(out, sd, "decoder_vit.upsampler0", "decoder_vit/upsampler0",
                     conv_transform=_deconv, conv_key="0", bn_key="1")
@@ -328,6 +339,11 @@ def convert_full_twin(state_dict: dict, ndepths=(32, 16, 8, 4), model_th=8,
             _plain_conv(out, sd, f"decoder_vit.inner{k}", f"decoder_vit/inner{k}")
             _conv_block(out, sd, f"decoder_vit.smooth{k}", f"decoder_vit/smooth{k}",
                         conv_key="0", bn_key="1", want_bias=True)
+        for k in (1, 2):
+            if f"decoder_vit.decoder{k}.0.weight" in sd:
+                _conv_block(out, sd, f"decoder_vit.decoder{k}",
+                            f"decoder_vit/decoder{k}", conv_transform=_deconv,
+                            conv_key="0", bn_key="1")
 
     # Stage nets.
     for i, nd in enumerate(ndepths):

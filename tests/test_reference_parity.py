@@ -208,3 +208,79 @@ def test_dino_full_model_parity():
     ct = out_t["photometric_confidence"].numpy()
     cj = np.asarray(out_j["photometric_confidence"])
     assert np.abs(cj - ct).max() < 5e-3, np.abs(cj - ct).max()
+
+
+@pytest.mark.slow
+def test_twin_multiscale_full_model_parity():
+    """multi_scale=True variant: FPNDecoderV2 + TwinDecoderStage4V2
+    (module.py:273-302, 415-447)."""
+    sys.path.insert(0, REF)
+    try:
+        import torch
+
+        from models import mvsformer_model
+    finally:
+        sys.path.remove(REF)
+
+    args = json.load(open(os.path.join(REF, "configs/config_mvsformer.json"))
+                     )["arch"]["args"]
+    args["vit_args"]["vit_path"] = ""
+    args["multi_scale"] = True
+    torch.manual_seed(0)
+    ref = mvsformer_model.TwinMVSNet(args)
+    ref.eval()
+
+    rng = np.random.default_rng(2)
+    imgs, projs, dv = _make_batch(rng)
+    tmps = [5.0, 5.0, 5.0, 1.0]
+    with torch.no_grad():
+        out_t = ref(torch.from_numpy(imgs),
+                    {k: torch.from_numpy(v) for k, v in projs.items()},
+                    torch.from_numpy(dv), tmp=tmps)
+
+    from mvsformer_tpu.config import ModelConfig
+    from mvsformer_tpu.models.mvsformer import build_model
+    from mvsformer_tpu.utils.convert_weights import convert_full_twin
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params, batch_stats = convert_full_twin(sd)
+
+    cfg = ModelConfig(multi_scale=True)
+    cfg.use_fused_warp = False
+    model = build_model(cfg, dtype=jnp.float32)
+
+    imgs_j = jnp.asarray(np.transpose(imgs, (0, 1, 3, 4, 2)))
+    projs_j = {k: jnp.asarray(v) for k, v in projs.items()}
+    dv_j = jnp.asarray(dv)
+    variables = jax.jit(
+        lambda k: model.init(k, imgs_j, projs_j, dv_j, training=False)
+    )(jax.random.PRNGKey(0))
+
+    def shapes(tree, p=""):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(shapes(v, p + k + "/"))
+            else:
+                out[p + k] = tuple(np.shape(v))
+        return out
+
+    want_p = shapes(variables["params"])
+    got_p = shapes(params)
+    assert got_p == want_p, (
+        f"param mismatch; missing={sorted(set(want_p) - set(got_p))[:8]} "
+        f"extra={sorted(set(got_p) - set(want_p))[:8]} "
+        f"shape={[k for k in set(got_p) & set(want_p) if got_p[k] != want_p[k]][:8]}")
+
+    out_j = model.apply(
+        {"params": jax.tree.map(jnp.asarray, params),
+         "batch_stats": jax.tree.map(jnp.asarray, batch_stats)},
+        imgs_j, projs_j, dv_j, training=False, tmp=tmps)
+
+    span = float(dv.max() - dv.min())
+    for s in range(1, 5):
+        dt = out_t[f"stage{s}"]["depth"].numpy()
+        dj = np.asarray(out_j[f"stage{s}"]["depth"])
+        err = np.abs(dj - dt) / span
+        assert err.max() < 5e-3, (
+            f"stage{s} depth rel err max {err.max():.5f} mean {err.mean():.6f}")
