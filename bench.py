@@ -282,10 +282,13 @@ def orchestrate(args):
         os.makedirs("docs", exist_ok=True)
         with open("docs/BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)
-        # headline = best eval variant
+        # headline = best NON-degraded accelerator eval variant (a CPU-proxy
+        # record is measured at an incomparable shape and must never win)
         best = max((r for r in (details.get("eval_xla"), details.get("eval_v1"),
-                                details.get("eval_v2"),
-                                details.get("eval_v3")) if r),
+                                details.get("eval_v2"), details.get("eval_v3"),
+                                details.get("eval_v3_bf16"))
+                    if r and not r.get("degraded")
+                    and r.get("platform") != "cpu"),
                    key=lambda r: r["value"], default=None)
         print(json.dumps(best if best else attempt_chain()))
         return

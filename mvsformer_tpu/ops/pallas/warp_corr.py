@@ -81,7 +81,7 @@ def _kernel(
             flat_row = (b * D + dd * DP + dp) * HB + hh
             y0 = y_start_ref[flat_row]
             pltpu.make_async_copy(
-                src_ref.at[0, pl.ds(y0, K)],
+                src_ref.at[b, pl.ds(y0, K)],
                 band_ref.at[slot_idx, dp],
                 sem.at[slot_idx, dp],
             ).start()
@@ -93,7 +93,7 @@ def _kernel(
             flat_row = (b * D + dd * DP + dp) * HB + hh
             y0 = y_start_ref[flat_row]
             pltpu.make_async_copy(
-                src_ref.at[0, pl.ds(y0, K)],
+                src_ref.at[b, pl.ds(y0, K)],
                 band_ref.at[slot_idx, dp],
                 sem.at[slot_idx, dp],
             ).wait()
@@ -354,7 +354,7 @@ def _kernel_v2(
         flat_row = (b * D + dd * DP + dp) * HB + hh
         y0 = y_start_ref[flat_row]
         return pltpu.make_async_copy(
-            src_ref.at[0, pl.ds(y0, K)], band_ref.at[slot_idx, dp],
+            src_ref.at[b, pl.ds(y0, K)], band_ref.at[slot_idx, dp],
             sem.at[slot_idx, dp])
 
     @pl.when(xt == 0)
@@ -586,7 +586,7 @@ def _kernel_v3(
         flat_row = (b * D + dd * DP + dp) * HB + hh
         y0 = y_start_ref[flat_row]
         return pltpu.make_async_copy(
-            src_ref.at[0, pl.ds(y0, K)], band_ref.at[slot_idx, dp],
+            src_ref.at[b, pl.ds(y0, K)], band_ref.at[slot_idx, dp],
             sem.at[slot_idx, dp])
 
     @pl.when(xt == 0)
@@ -747,7 +747,7 @@ def plane_sweep_group_corr_v3(
     py5 = pyp.reshape(B, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
     py5 = py5.reshape(B, D, HB * NXT, ROWS, XT)
     # y_off flat index: (((b*D+d)*HB+h)*NXT+x)*ROWS+r.
-    y_off_flat = y_off.transpose(0, 1, 2, 3, 4).reshape(-1)
+    y_off_flat = y_off.reshape(-1)  # already (B,D,HB,NXT,ROWS) order
 
     out = pl.pallas_call(
         kernel,

@@ -32,9 +32,14 @@ from mvsformer_tpu.ops.pallas import warp_corr
 def fused_warp_corr_train(ref_fea, src_fea, src_proj, ref_proj, depth_values,
                           groups: int = 8, band_rows: int = 12,
                           variant: int = 1):
+    # Variant 3's narrow per-row y-window clips more pixels than the block
+    # band, and with want_invalid=False those clips are silent while the
+    # recompute-backward uses unclipped XLA values — keep training on the
+    # wide-band variants (v3 -> v2) so forward/backward stay consistent for
+    # all but the rare K-band clips.
     kernel = {
         2: warp_corr.plane_sweep_group_corr_v2,
-        3: warp_corr.plane_sweep_group_corr_v3,
+        3: warp_corr.plane_sweep_group_corr_v2,
     }.get(variant, warp_corr.plane_sweep_group_corr)
     corr, _ = kernel(ref_fea, src_fea, src_proj, ref_proj, depth_values,
                      groups=groups, band_rows=band_rows, want_invalid=False)

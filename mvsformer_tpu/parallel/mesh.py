@@ -34,7 +34,13 @@ def make_mesh(data: int = -1, view: int = 1, depth: int = 1, devices=None) -> Me
         data = n // (view * depth)
     need = data * view * depth
     assert need <= n, (data, view, depth, n)
-    devices = devices[:need]  # explicit sizes may use a device subset
+    if need < n:
+        import warnings
+
+        warnings.warn(
+            f"mesh data{data}xview{view}xdepth{depth} uses {need} of {n} "
+            f"devices; the remaining {n - need} idle", stacklevel=2)
+    devices = devices[:need]
     arr = np.asarray(devices).reshape(data, view, depth)
     return Mesh(arr, AXES)
 

@@ -29,7 +29,8 @@ from mvsformer_tpu.utils import metrics as metric_lib
 
 class Trainer:
     def __init__(self, cfg: Config, model, mesh, train_loader, val_loader=None,
-                 writer=None, logger=None, is_blended=False, debug=False):
+                 writer=None, logger=None, is_blended=False, debug=False,
+                 profile=None):
         self.cfg = cfg
         self.model = model
         self.mesh = mesh
@@ -39,6 +40,11 @@ class Trainer:
         self.logger = logger or _PrintLogger()
         self.is_blended = is_blended
         self.debug = debug  # per-subtree grad inf/nan scan (train.py --debug)
+        # (dir, start_step, n_steps): capture a jax.profiler trace over a
+        # step window — the structured replacement for the reference's
+        # wall-clock prints (SURVEY.md section 5.1).
+        self.profile = profile
+        self._profiling = False
         self.scale_batch_map = {
             int(k): v for k, v in
             (cfg.data.multi_scale_args.scale_batch_map or {}).items()
@@ -140,6 +146,13 @@ class Trainer:
                 self.opt_state = _zero_counts(self.opt_state)
         else:
             self.opt_state = self.optimizer.init(self.params)
+            if not reset_schedule:
+                # Fresh moments but a fast-forwarded schedule: advance the
+                # optax counts so the applied LR matches the logged
+                # schedule(global_step) (reference's replay loop,
+                # train.py:121-122).
+                self.opt_state = _set_counts(
+                    self.opt_state, int(meta.get("global_step", 0)))
         self.global_step = 0 if reset_schedule else int(meta.get("global_step", 0))
         self.logger.info(
             f"finetune: restored {name} from {ckpt_dir} "
@@ -162,6 +175,8 @@ class Trainer:
                 f"host batch {B} not divisible by data-parallel axis {n_data}")
         mb = self.scale_batch_map.get(h, B // n_data) * n_data
         mb = max(n_data, min(mb, B))
+        while B % mb != 0:  # never silently drop trailing samples
+            mb -= n_data
         n = B // mb
         for i in range(n):
             yield jax.tree.map(
@@ -174,6 +189,15 @@ class Trainer:
         t_epoch = time.time()
         for batch_idx, batch in enumerate(self.train_loader):
             t0 = time.time()
+            if self.profile is not None:
+                pdir, pstart, psteps = self.profile
+                if self.global_step == pstart and not self._profiling:
+                    jax.profiler.start_trace(pdir)
+                    self._profiling = True
+                elif self._profiling and self.global_step >= pstart + psteps:
+                    jax.profiler.stop_trace()
+                    self._profiling = False
+                    self.logger.info(f"profiler trace written to {pdir}")
             grads = None
             n_micro = 0
             metrics = None
@@ -225,6 +249,10 @@ class Trainer:
                     for k, v in logs.items():
                         self.writer.add_scalar(f"train/{k}", v, self.global_step)
                     self.writer.add_scalar("train/lr", lr, self.global_step)
+        if self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            self.logger.info(f"profiler trace written to {self.profile[0]}")
         out = meter.mean()
         out["epoch_time"] = time.time() - t_epoch
         return out
@@ -350,22 +378,27 @@ class Trainer:
         return history
 
 
-def _zero_counts(state):
-    """Zero every `count` field in an optax state tree (schedule position +
-    Adam bias-correction step), keeping the moment estimates — the finetune
-    reset-scheduler branch (reference train.py:113-118)."""
+def _set_counts(state, step: int):
+    """Set every `count` field in an optax state tree (schedule position +
+    Adam bias-correction step) to `step`, keeping the moment estimates."""
     if hasattr(state, "_fields"):
-        vals = {f: _zero_counts(getattr(state, f)) for f in state._fields}
+        vals = {f: _set_counts(getattr(state, f), step) for f in state._fields}
         if "count" in state._fields:
-            vals["count"] = jnp.zeros_like(state.count)
+            vals["count"] = jnp.full_like(state.count, step)
         return type(state)(**vals)
     if isinstance(state, tuple):
-        return tuple(_zero_counts(s) for s in state)
+        return tuple(_set_counts(s, step) for s in state)
     if isinstance(state, list):
-        return [_zero_counts(s) for s in state]
+        return [_set_counts(s, step) for s in state]
     if isinstance(state, dict):
-        return {k: _zero_counts(v) for k, v in state.items()}
+        return {k: _set_counts(v, step) for k, v in state.items()}
     return state
+
+
+def _zero_counts(state):
+    """Zero the optax counts — the finetune reset-scheduler branch
+    (reference train.py:113-118)."""
+    return _set_counts(state, 0)
 
 
 def _to_jax(tree):

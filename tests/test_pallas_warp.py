@@ -172,3 +172,41 @@ def test_fused_warp_corr_bf16_band(rng):
     valid = ~np.asarray(invalid)
     np.testing.assert_allclose(got[valid], want[valid], rtol=0.05, atol=0.02)
     assert valid.mean() > 0.5
+
+
+@pytest.mark.parametrize("variant", [1, 2, 3])
+def test_fused_warp_corr_batch2(rng, variant):
+    """Regression: the band DMA must read each batch element's own source
+    (a batch-0-only indexing bug corrupted every b>0 sample)."""
+    H, W, D, C = 48, 128, 4, 8
+    B, G = 2, 8
+    ref = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    src = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    sp1, rp1 = random_cameras(rng, 1)
+    sp2, rp2 = random_cameras(rng, 1)
+    src_proj = np.concatenate([sp1, sp2])
+    ref_proj = np.concatenate([rp1, rp2])
+    dv = np.broadcast_to(
+        np.linspace(400, 900, D, dtype=np.float32)[None, :, None, None],
+        (B, D, H, W)).copy()
+
+    warped, _ = geometry.homo_warp(
+        jnp.asarray(src), jnp.asarray(src_proj), jnp.asarray(ref_proj),
+        jnp.asarray(dv))
+    want = np.asarray(correlation.groupwise_correlation(jnp.asarray(ref), warped, G))
+
+    fn = {1: warp_corr.plane_sweep_group_corr,
+          2: warp_corr.plane_sweep_group_corr_v2,
+          3: warp_corr.plane_sweep_group_corr_v3}[variant]
+    with pltpu.force_tpu_interpret_mode():
+        got, invalid = fn(
+            jnp.asarray(ref), jnp.asarray(src), jnp.asarray(src_proj),
+            jnp.asarray(ref_proj), jnp.asarray(dv), groups=G,
+            band_rows=16, band_cols=256)
+    got = np.asarray(got)
+    valid = ~np.asarray(invalid)
+    for bi in range(B):
+        np.testing.assert_allclose(got[bi][valid[bi]], want[bi][valid[bi]],
+                                   rtol=2e-4, atol=2e-4,
+                                   err_msg=f"batch {bi} variant {variant}")
+        assert valid[bi].mean() > 0.5

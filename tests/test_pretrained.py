@@ -117,3 +117,23 @@ def test_zero_counts_resets_schedule():
     # Both still step.
     updates, _ = tx.update(g, reset, params)
     assert np.isfinite(float(jnp.sum(updates["w"])))
+
+
+def test_set_counts_fast_forwards_schedule():
+    """finetune --keep_schedule --no_restore_opt: fresh moments, counts
+    advanced so the applied LR matches the logged schedule position."""
+    from mvsformer_tpu.train.trainer import _set_counts
+
+    params = {"w": jnp.ones((4,))}
+    sched = optax.warmup_cosine_decay_schedule(0.0, 1e-3, 10, 100)
+    tx = optax.adamw(sched)
+    fresh = tx.init(params)
+    ff = _set_counts(fresh, 50)
+    counts = [int(np.asarray(x)) for x in jax.tree.leaves(ff)
+              if np.asarray(x).ndim == 0]
+    assert all(c == 50 for c in counts)
+    g = {"w": jnp.full((4,), 0.1)}
+    upd_ff, _ = tx.update(g, ff, params)
+    upd_0, _ = tx.update(g, fresh, params)
+    # post-warmup LR at step 50 is much larger than warmup step 0
+    assert float(jnp.abs(upd_ff["w"]).mean()) > float(jnp.abs(upd_0["w"]).mean())

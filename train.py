@@ -52,6 +52,12 @@ def main():
                              "overrides any environment-registered backend)")
     parser.add_argument("--debug", action="store_true",
                         help="per-subtree gradient inf/nan scan + TB grad maxima")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="capture a jax.profiler trace of training steps "
+                             "[profile_start, profile_start+profile_steps) "
+                             "into this directory (xprof-viewable)")
+    parser.add_argument("--profile_start", type=int, default=10)
+    parser.add_argument("--profile_steps", type=int, default=5)
     args = parser.parse_args()
 
     import jax
@@ -134,7 +140,9 @@ def main():
 
     logger = setup_logging(run_dir) if host_id == 0 else None
     trainer = Trainer(cfg, model, mesh, train_loader, val_loader, writer=writer,
-                      logger=logger, is_blended=is_blended, debug=args.debug)
+                      logger=logger, is_blended=is_blended, debug=args.debug,
+                      profile=(args.profile_dir, args.profile_start,
+                               args.profile_steps) if args.profile_dir else None)
     train_loader.set_epoch(0)
     first = next(iter(train_loader))
     trainer.init_state(first)
