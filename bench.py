@@ -74,7 +74,7 @@ def worker(args):
             B, V, H, W, D = 1, 3, 128, 160, 48
             iters, warmup = 2, 1
     elif on_accel:
-        B, V, H, W, D = 1, 5, 1152, 1536, 192
+        B, V, H, W, D = args.batch, 5, 1152, 1536, 192
         iters, warmup = 8, 2
     else:
         B, V, H, W, D = 1, 3, 256, 320, 48
@@ -208,10 +208,10 @@ def worker(args):
 # --------------------------------------------------------------------------
 
 def _run_worker(variant, timeout, platform_env=None, train=False, profile=None,
-                bf16_band=False):
+                bf16_band=False, batch=1):
     """Run one worker subprocess; return parsed JSON record or None."""
     cmd = [sys.executable, os.path.abspath(__file__), "--_worker",
-           "--variant", variant]
+           "--variant", variant, "--batch", str(batch)]
     if bf16_band:
         cmd.append("--bf16_band")
     if train:
@@ -255,7 +255,8 @@ def orchestrate(args):
         # Two accelerator attempts (first pays compile, second rides the
         # persistent cache), then a CPU-proxy fallback, then a stub record.
         for timeout in (args.timeout, args.timeout // 2):
-            rec = _run_worker(variant, timeout, train=train, profile=profile)
+            rec = _run_worker(variant, timeout, train=train, profile=profile,
+                              batch=args.batch)
             if rec:
                 return rec
         sys.stderr.write("[bench] accelerator attempts failed; CPU proxy\n")
@@ -312,6 +313,9 @@ def main():
                         help="benchmark the training step instead of eval")
     parser.add_argument("--bf16_band", action="store_true",
                         help="bf16 source band in the fused kernel")
+    parser.add_argument("--batch", type=int, default=1,
+                        help="eval batch size (throughput via batching if "
+                             "HBM allows; depth-maps/s = batch/iter_time)")
     parser.add_argument("--all", action="store_true",
                         help="sweep all variants + train into docs/BENCH_DETAILS.json")
     parser.add_argument("--timeout", type=int, default=2100,
