@@ -138,6 +138,8 @@ class TrainerConfig:
     epochs: int = 15
     save_dir: str = "saved/"
     save_period: int = 1
+    save_every_steps: int = 0  # >0: mid-epoch model_step checkpoints
+    # (preemption recovery; resume skips already-trained batches)
     logging_every: int = 100
     early_stop: int = 10
     depth_scale: float = 1.0

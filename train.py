@@ -35,6 +35,9 @@ def main():
                         help="finetune: fast-forward the LR schedule instead "
                              "of resetting it")
     parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--save_every_steps", type=int, default=None,
+                        help="mid-epoch model_step checkpoint every N steps "
+                             "(preemption recovery; --resume picks it up)")
     parser.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
     parser.add_argument("--data_parallel", type=int, default=-1,
                         help="size of the 'data' mesh axis (-1 = all devices "
@@ -86,6 +89,8 @@ def main():
         cfg.data.datapath = args.data_path
     if args.vit_path is not None:
         cfg.arch.vit_args.vit_path = args.vit_path
+    if args.save_every_steps is not None:
+        cfg.trainer.save_every_steps = args.save_every_steps
 
     host_id = jax.process_index()
     num_hosts = jax.process_count()
@@ -147,17 +152,18 @@ def main():
     first = next(iter(train_loader))
     trainer.init_state(first)
 
-    start_epoch = 1
-    if args.resume and trainer.ckpt.has("model_last"):
-        meta = trainer.restore("model_last")
-        start_epoch = int(meta.get("epoch", 0)) + 1
-        print(f"resumed from epoch {meta.get('epoch')}")
+    start_epoch, skip_batches = 1, 0
+    if args.resume:
+        info = trainer.resume_auto()
+        if info:
+            start_epoch = info["start_epoch"]
+            skip_batches = info["skip_batches"]
     elif args.finetune:
         trainer.finetune(args.finetune, name=args.finetune_name,
                          restore_opt=not args.no_restore_opt,
                          reset_schedule=not args.keep_schedule)
 
-    trainer.train(start_epoch)
+    trainer.train(start_epoch, skip_batches)
 
 
 if __name__ == "__main__":
