@@ -292,6 +292,25 @@ class Trainer:
                     for k, v in logs.items():
                         self.writer.add_scalar(f"train/{k}", v, self.global_step)
                     self.writer.add_scalar("train/lr", lr, self.global_step)
+                    # Train-time pred/gt image grids (the reference's
+                    # save_images at logging_every, mvsformer_trainer.py:
+                    # 186-190): one extra eval forward on the last
+                    # micro-batch, amortized over logging_every steps.
+                    try:
+                        esplit = {k: split[k] for k in (
+                            "imgs_ref", "imgs_src", "proj_ref", "proj_src",
+                            "depth_values")}
+                        depth_est, conf = self._eval_step(
+                            self.params, self.batch_stats, esplit)
+                        gt = np.asarray(micro["depth"]["stage4"][:1])
+                        self.writer.add_image(
+                            "train/pred_depth", _norm_img(depth_est), self.global_step)
+                        self.writer.add_image(
+                            "train/gt_depth", _norm_img(gt), self.global_step)
+                        self.writer.add_image(
+                            "train/confidence", _norm_img(conf), self.global_step)
+                    except Exception:
+                        pass
         if self._profiling:
             jax.profiler.stop_trace()
             self._profiling = False
@@ -382,15 +401,10 @@ class Trainer:
                 self.writer.add_scalar(f"val/{k}", v, epoch)
             # Normalized pred/gt/conf image grid (utils.py:92-116 save_images).
             try:
-                def norm_img(x):
-                    x = np.asarray(x[0], np.float32)
-                    lo, hi = np.percentile(x, 2), np.percentile(x, 98)
-                    return np.clip((x - lo) / max(hi - lo, 1e-6), 0, 1)[None]
-
                 self.writer.add_image("val/pred_depth",
-                                      norm_img(depth_est * mask), epoch)
-                self.writer.add_image("val/gt_depth", norm_img(depth_gt), epoch)
-                self.writer.add_image("val/confidence", norm_img(conf), epoch)
+                                      _norm_img(depth_est * mask), epoch)
+                self.writer.add_image("val/gt_depth", _norm_img(depth_gt), epoch)
+                self.writer.add_image("val/confidence", _norm_img(conf), epoch)
             except Exception:
                 pass
         return out
@@ -420,6 +434,13 @@ class Trainer:
                                extra_meta={"global_step": self.global_step})
             history.append(log)
         return history
+
+
+def _norm_img(x):
+    """First sample, percentile-normalized, as a [1, H, W] TB image."""
+    x = np.asarray(x[0], np.float32)
+    lo, hi = np.percentile(x, 2), np.percentile(x, 98)
+    return np.clip((x - lo) / max(hi - lo, 1e-6), 0, 1)[None]
 
 
 def _set_counts(state, step: int):
