@@ -25,8 +25,12 @@ from mvsformer_tpu.utils.cams import CameraParams, write_cam_file
 from mvsformer_tpu.utils.pfm import save_pfm
 
 
-def make_infer_fn(model, tmps=(5.0, 5.0, 5.0, 1.0)):
-    """Jitted eval forward returning depth, combined + per-stage confidence."""
+def make_infer_fn(model, tmps=(5.0, 5.0, 5.0, 1.0), want_stage_confs=True):
+    """Jitted eval forward returning depth, combined (+ per-stage) confidence.
+
+    With want_stage_confs=False the stacked per-stage maps are not returned,
+    letting XLA DCE their full-resolution upsampling/transfer (they are only
+    consumed by --no-combine_conf fusion)."""
 
     @jax.jit
     def fn(params, batch_stats, imgs, projs, depth_values):
@@ -34,7 +38,7 @@ def make_infer_fn(model, tmps=(5.0, 5.0, 5.0, 1.0)):
             {"params": params, "batch_stats": batch_stats},
             imgs, projs, depth_values, training=False, tmp=list(tmps))
         stage_confs = [out[f"stage{i}"]["photometric_confidence"]
-                       for i in range(1, 5)]
+                       for i in range(1, 5)] if want_stage_confs else []
         return out["refined_depth"], out["photometric_confidence"], stage_confs
 
     return fn
@@ -46,7 +50,7 @@ def save_depth(model, params, batch_stats, testlist, datapath, outdir,
                batch_size=1, combine_conf=True, use_short_range=False,
                logger=print):
     """Run inference over every reference view of every scan in `testlist`."""
-    infer = make_infer_fn(model, tmps)
+    infer = make_infer_fn(model, tmps, want_stage_confs=not combine_conf)
     ds = MVSEvalDataset(datapath, testlist, nviews=num_view, ndepths=ndepths,
                         interval_scale=interval_scale, max_h=max_h, max_w=max_w,
                         dataset=dataset, use_short_range=use_short_range)

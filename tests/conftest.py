@@ -22,6 +22,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: model-init/forward compiles dominate suite
+# time on CPU; repeat runs (and the driver's fresh invocations on the same
+# machine) reuse cached executables.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
