@@ -1,0 +1,112 @@
+"""Fused warp+correlation kernel microbenchmark (per cascade-stage shape).
+
+Times the XLA gather path vs fused v1/v2/v3 (+bf16 band) at each DTU-eval
+cascade stage shape, one source view — the per-kernel ledger behind
+docs/DESIGN.md. Run on a real TPU:
+
+  python tools/kernel_bench.py [--iters 20] [--stages 1,2,3,4]
+
+Prints one line per (stage, impl) with ms/call and the speedup vs XLA.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+# DTU eval 1152x1536, ndepths [32,16,8,4], feat chs [64,32,16,8] at 1/8..1/1.
+STAGE_SHAPES = {
+    1: (144, 192, 32, 64),
+    2: (288, 384, 16, 32),
+    3: (576, 768, 8, 16),
+    4: (1152, 1536, 4, 8),
+}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--iters", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--stages", default="1,2,3,4")
+    parser.add_argument("--band_rows", type=int, default=12)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+    from mvsformer_tpu.ops import correlation, geometry
+    from mvsformer_tpu.ops.pallas import warp_corr
+
+    print(f"platform: {jax.devices()[0].platform}", flush=True)
+    rng = np.random.default_rng(0)
+
+    @jax.jit
+    def xla_path(ref, src, sp, rp, dv):
+        warped, _ = geometry.homo_warp(src, sp, rp, dv)
+        return correlation.groupwise_correlation(ref, warped, 8)
+
+    impls = {
+        "xla": xla_path,
+        "v1": lambda ref, src, sp, rp, dv: warp_corr.plane_sweep_group_corr(
+            ref, src, sp, rp, dv, groups=8, band_rows=args.band_rows,
+            want_invalid=False)[0],
+        "v2": lambda ref, src, sp, rp, dv: warp_corr.plane_sweep_group_corr_v2(
+            ref, src, sp, rp, dv, groups=8, band_rows=args.band_rows,
+            want_invalid=False)[0],
+        "v3": lambda ref, src, sp, rp, dv: warp_corr.plane_sweep_group_corr_v3(
+            ref, src, sp, rp, dv, groups=8, band_rows=args.band_rows,
+            want_invalid=False)[0],
+        "v3_bf16": lambda ref, src, sp, rp, dv: warp_corr.plane_sweep_group_corr_v3(
+            ref, src, sp, rp, dv, groups=8, band_rows=args.band_rows,
+            want_invalid=False, bf16_band=True)[0],
+    }
+
+    for stage in (int(s) for s in args.stages.split(",")):
+        H, W, D, C = STAGE_SHAPES[stage]
+        ref = jnp.asarray(rng.standard_normal((1, H, W, C)).astype(np.float32))
+        src = jnp.asarray(rng.standard_normal((1, H, W, C)).astype(np.float32))
+        K = np.array([[W * 1.4, 0, W / 2], [0, W * 1.4, H / 2], [0, 0, 1]],
+                     np.float32)
+        rp = np.eye(4, dtype=np.float32)[None]
+        rp[0, :3, :3] = K
+        sp = rp.copy()
+        sp[0, 0, 3] = 2.0 * W / 192  # small baseline, scaled with resolution
+        rp, sp = jnp.asarray(rp), jnp.asarray(sp)
+        dv = jnp.asarray(np.broadcast_to(
+            np.linspace(425, 900, D, dtype=np.float32)[None, :, None, None],
+            (1, D, H, W)).copy())
+
+        base_ms = None
+        for name, fn in impls.items():
+            try:
+                out = fn(ref, src, sp, rp, dv)
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    jax.block_until_ready(fn(ref, src, sp, rp, dv))
+                ms = (time.perf_counter() - t0) / args.iters * 1e3
+            except Exception as e:
+                print(f"stage{stage} {name}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+                continue
+            if name == "xla":
+                base_ms = ms
+            speed = f" ({base_ms / ms:.2f}x vs xla)" if base_ms and name != "xla" else ""
+            print(f"stage{stage} ({H}x{W}, D={D}, C={C}) {name}: "
+                  f"{ms:.2f} ms{speed}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
