@@ -306,9 +306,12 @@ def main():
                         help="write a jax.profiler trace to this directory")
     parser.add_argument("--no_fused", action="store_true",
                         help="disable the Pallas fused warp kernel")
-    parser.add_argument("--variant", default="xla",
+    parser.add_argument("--variant", default="v1",
                         choices=["xla", "v1", "v2", "v3"],
-                        help="warp+correlation implementation to benchmark")
+                        help="warp+correlation implementation to benchmark "
+                             "(default matches ModelConfig's production "
+                             "use_fused_warp/fused_variant, so the headline "
+                             "number and vs_baseline track the fused path)")
     parser.add_argument("--train", action="store_true",
                         help="benchmark the training step instead of eval")
     parser.add_argument("--bf16_band", action="store_true",

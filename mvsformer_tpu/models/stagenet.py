@@ -63,6 +63,7 @@ class StageNet(nn.Module):
     fused_band_rows: int = 12
     fused_variant: int = 1  # 1 = row-batched, 2 = transpose-free, 3 = +row-windows
     fused_train_warp: bool = False
+    fused_native_bwd: bool = True  # Pallas bwd kernel vs XLA-recompute VJP
     fused_bf16_band: bool = False  # bf16 band + tent weights (fp32 accum)
     # Optional NamedSharding for depth-hypothesis-slab sharding of the cost
     # volume over the mesh's "depth" axis. The constraint makes GSPMD shard
@@ -118,12 +119,24 @@ class StageNet(nn.Module):
                     2: wc.plane_sweep_group_corr_v2,
                     3: wc.plane_sweep_group_corr_v3,
                 }.get(self.fused_variant, wc.plane_sweep_group_corr)
+                # epipoleV2 consumes the invalid mask directly (downweights
+                # clipped pixels). v3's per-row KR=4 window is much narrower
+                # than v1/v2's band, so for the other fusion types the mask is
+                # still requested and window-clipped pixels are zeroed — the
+                # same treatment the XLA path gives frustum-OOB pixels —
+                # instead of silently carrying corrupted correlation values.
+                need_invalid = (self.fusion_type == "epipoleV2"
+                                or self.fused_variant == 3)
                 corr, invalid = kernel_fn(
                     ref32, src_feats[:, v].astype(jnp.float32), src_proj_full,
                     ref_proj_full, dv32, groups=G,
                     band_rows=self.fused_band_rows,
-                    want_invalid=(self.fusion_type == "epipoleV2"),
+                    want_invalid=need_invalid,
                     bf16_band=self.fused_bf16_band)
+                if (self.fused_variant == 3
+                        and self.fusion_type != "epipoleV2"
+                        and invalid is not None):
+                    corr = corr * (1.0 - invalid[..., None])
             elif fused_train:
                 from mvsformer_tpu.ops.pallas.warp_corr_train import (
                     fused_warp_corr_train,
@@ -132,7 +145,7 @@ class StageNet(nn.Module):
                 corr = fused_warp_corr_train(
                     ref32, src_feats[:, v].astype(jnp.float32), src_proj_full,
                     ref_proj_full, dv32, G, self.fused_band_rows,
-                    self.fused_variant)
+                    self.fused_variant, self.fused_native_bwd)
                 invalid = None
                 if self.fusion_type == "epipoleV2":
                     _, _, invalid = geometry.plane_sweep_coords(

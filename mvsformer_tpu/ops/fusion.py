@@ -206,7 +206,7 @@ def fuse_dpcd(ref_depth, src_depths, ref_cam, src_cams, ref_conf,
 
 def vis_filter_disparity(ref_depth: Array, src_depths: Array, ref_cam: Array,
                          src_cams: Array, disp_thresh: float,
-                         num_consistent: int):
+                         num_consistent: int, want_reproj_depth: bool = False):
     """Fusibile-style consistency in DISPARITY space (the semantics behind
     misc/gipuma.py:192-213's --disp_thresh / --num_consistent flags).
 
@@ -218,7 +218,10 @@ def vis_filter_disparity(ref_depth: Array, src_depths: Array, ref_cam: Array,
     difference into the resolution-aware pixel-disparity unit fusibile
     thresholds on, removing the previous dist_thresh = 10*disp heuristic.
 
-    Returns (per-view masks [B,V,H,W], combined [B,H,W]).
+    Returns (per-view masks [B,V,H,W], combined [B,H,W]); with
+    want_reproj_depth also the source views' reprojected reference-frame
+    depth d' [B,V,H,W] (reusing this pass's projection + d_v sample rather
+    than running reproject_all a second time).
     """
     B, H, W = ref_depth.shape
     world = back_project(ref_depth, ref_cam)
@@ -239,10 +242,18 @@ def vis_filter_disparity(ref_depth: Array, src_depths: Array, ref_cam: Array,
                                  - 1.0 / jnp.maximum(d_v, 1e-6))
         inside = (xy[..., 0] >= 0) & (xy[..., 0] < W) & \
                  (xy[..., 1] >= 0) & (xy[..., 1] < H)
-        return (disp_diff < disp_thresh) & (d_v > 0) & (z > 0) & inside
+        mask = (disp_diff < disp_thresh) & (d_v > 0) & (z > 0) & inside
+        if want_reproj_depth:
+            world2 = back_project_at(xy, d_v, src_cam)
+            _, back_z = project(world2, ref_cam)
+            return mask, back_z
+        return mask, jnp.zeros_like(d_v)
 
-    masks = jax.vmap(per_view, in_axes=(1, 1), out_axes=1)(src_depths, src_cams)
+    masks, reproj_d = jax.vmap(per_view, in_axes=(1, 1), out_axes=(1, 1))(
+        src_depths, src_cams)
     combined = masks.sum(axis=1) >= num_consistent
+    if want_reproj_depth:
+        return masks, combined, reproj_d
     return masks, combined
 
 
@@ -259,9 +270,9 @@ def fuse_gipuma(ref_depth, src_depths, ref_cam, src_cams, ref_conf,
         th = prob_threshold[0] if isinstance(prob_threshold, (list, tuple)) else prob_threshold
         prob_mask = ref_conf > th
 
-    masks, vis_mask = vis_filter_disparity(
-        ref_depth, src_depths, ref_cam, src_cams, disp_thresh, num_consistent)
-    _, d = reproject_all(ref_depth, src_depths, ref_cam, src_cams)
+    masks, vis_mask, d = vis_filter_disparity(
+        ref_depth, src_depths, ref_cam, src_cams, disp_thresh, num_consistent,
+        want_reproj_depth=True)
     fused = ave_fusion(ref_depth, d, masks & (d > 0))
     mask = prob_mask & vis_mask
     points = back_project(fused, ref_cam)

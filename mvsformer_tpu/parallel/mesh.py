@@ -35,6 +35,16 @@ def make_mesh(data: int = -1, view: int = 1, depth: int = 1, devices=None) -> Me
     need = data * view * depth
     assert need <= n, (data, view, depth, n)
     if need < n:
+        if jax.process_count() > 1:
+            # Prefix subsetting is process-major: dropping devices in a
+            # multi-host run can leave some process with ZERO mesh devices,
+            # which fails obscurely at first dispatch (the process still
+            # executes the jitted collective program). Fail loudly here.
+            raise ValueError(
+                f"mesh data{data}xview{view}xdepth{depth} needs {need} "
+                f"devices but {n} are present across "
+                f"{jax.process_count()} processes; in multi-host runs the "
+                f"mesh must use every device — adjust the axis sizes")
         import warnings
 
         warnings.warn(

@@ -35,11 +35,22 @@ class CheckpointManager:
         return value < self.best if self.mode == "min" else value > self.best
 
     def _save(self, name: str, state: dict, meta: dict):
+        """All processes must call this (orbax's save of mesh-sharded global
+        arrays is a cross-process collective); the json sidecar is written by
+        process 0 only, atomically (tmp + os.replace) so a preemption mid-write
+        can never leave a truncated meta that would break the next resume —
+        worst case the sidecar is one save behind, which only re-trains a few
+        batches (deterministic loader order makes that exact, never skips)."""
+        import jax
+
         path = os.path.join(self.ckpt_dir, name)
         self._ckptr.save(path, state, force=True)
         self._ckptr.wait_until_finished()
-        with open(path + ".meta.json", "w") as f:
-            json.dump(meta, f)
+        if jax.process_index() == 0:
+            tmp = path + ".meta.json.tmp"
+            with open(tmp, "w") as f:
+                json.dump(meta, f)
+            os.replace(tmp, path + ".meta.json")
 
     def step(self, epoch: int, value: float, state: dict, extra_meta=None) -> bool:
         """Apply the best/last policy after a validation epoch. Returns True

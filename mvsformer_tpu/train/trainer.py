@@ -45,6 +45,8 @@ class Trainer:
         # wall-clock prints (SURVEY.md section 5.1).
         self.profile = profile
         self._profiling = False
+        self._profiled = False
+        self._profile_t0 = 0
         # >0: write a model_step checkpoint every N optimizer steps so a
         # preempted run resumes mid-epoch (beyond the reference's
         # epoch-granularity recovery, SURVEY.md section 5.3).
@@ -165,7 +167,13 @@ class Trainer:
         from mvsformer_tpu.train.checkpoint import CheckpointManager
 
         mgr = CheckpointManager(ckpt_dir, self.cfg.trainer.monitor)
-        state, meta = mgr.restore(name, self.state_dict())
+        # Template only what will actually be used: with restore_opt=False a
+        # params-only checkpoint (e.g. a converted/eval export with no
+        # optimizer state) must restore cleanly.
+        template = {"params": self.params, "batch_stats": self.batch_stats}
+        if restore_opt:
+            template["opt_state"] = self.opt_state
+        state, meta = mgr.restore(name, template)
         state = self._replicate(state)
         self.params = state["params"]
         self.batch_stats = state["batch_stats"]
@@ -225,12 +233,19 @@ class Trainer:
             t0 = time.time()
             if self.profile is not None:
                 pdir, pstart, psteps = self.profile
-                if self.global_step == pstart and not self._profiling:
+                # >= (not ==): a resumed run whose restored global_step is
+                # already past profile_start should still produce a trace
+                # (one window only — _profiled latches after it closes).
+                if (self.global_step >= pstart and not self._profiling
+                        and not self._profiled):
                     jax.profiler.start_trace(pdir)
                     self._profiling = True
-                elif self._profiling and self.global_step >= pstart + psteps:
+                    self._profile_t0 = self.global_step
+                elif (self._profiling
+                        and self.global_step >= self._profile_t0 + psteps):
                     jax.profiler.stop_trace()
                     self._profiling = False
+                    self._profiled = True
                     self.logger.info(f"profiler trace written to {pdir}")
             grads = None
             n_micro = 0
@@ -271,8 +286,11 @@ class Trainer:
             self.global_step += 1
 
             if (self.save_every_steps
-                    and self.global_step % self.save_every_steps == 0
-                    and jax.process_index() == 0):
+                    and self.global_step % self.save_every_steps == 0):
+                # Every process calls the save: orbax's save of mesh-sharded/
+                # replicated global arrays is a cross-process collective
+                # (process 0 alone would deadlock on the barrier). The manager
+                # itself gates metadata writes on process_index()==0.
                 self.ckpt._save("model_step", self.state_dict(), {
                     "epoch": epoch, "batch_idx": batch_idx,
                     "global_step": self.global_step,
@@ -288,32 +306,46 @@ class Trainer:
                     f"epoch {epoch} [{batch_idx}/{len(self.train_loader)}] "
                     f"loss={logs['loss']:.4f} lr={lr:.2e} "
                     f"time={time.time() - t0:.2f}s")
-                if self.writer is not None:
-                    for k, v in logs.items():
-                        self.writer.add_scalar(f"train/{k}", v, self.global_step)
-                    self.writer.add_scalar("train/lr", lr, self.global_step)
-                    # Train-time pred/gt image grids (the reference's
-                    # save_images at logging_every, mvsformer_trainer.py:
-                    # 186-190): one extra eval forward on the last
-                    # micro-batch, amortized over logging_every steps.
+                # Train-time pred/gt image grids (the reference's save_images
+                # at logging_every, mvsformer_trainer.py:186-190): one extra
+                # eval forward on the last micro-batch, amortized over
+                # logging_every steps. The jitted eval step runs on EVERY
+                # process (it is a collective program over the multi-host
+                # mesh; host-0-only entry would hang the others) — only the
+                # image writes are host-0 gated via `writer`.
+                log_images = (self.writer is not None
+                              or jax.process_count() > 1)
+                depth_est = conf = None
+                if log_images:
                     try:
                         esplit = {k: split[k] for k in (
                             "imgs_ref", "imgs_src", "proj_ref", "proj_src",
                             "depth_values")}
                         depth_est, conf = self._eval_step(
                             self.params, self.batch_stats, esplit)
-                        gt = np.asarray(micro["depth"]["stage4"][:1])
-                        self.writer.add_image(
-                            "train/pred_depth", _norm_img(depth_est), self.global_step)
-                        self.writer.add_image(
-                            "train/gt_depth", _norm_img(gt), self.global_step)
-                        self.writer.add_image(
-                            "train/confidence", _norm_img(conf), self.global_step)
                     except Exception:
-                        pass
+                        depth_est = None
+                if self.writer is not None:
+                    for k, v in logs.items():
+                        self.writer.add_scalar(f"train/{k}", v, self.global_step)
+                    self.writer.add_scalar("train/lr", lr, self.global_step)
+                    if depth_est is not None:
+                        try:
+                            gt = np.asarray(micro["depth"]["stage4"][:1])
+                            self.writer.add_image(
+                                "train/pred_depth", _norm_img(depth_est),
+                                self.global_step)
+                            self.writer.add_image(
+                                "train/gt_depth", _norm_img(gt), self.global_step)
+                            self.writer.add_image(
+                                "train/confidence", _norm_img(conf),
+                                self.global_step)
+                        except Exception:
+                            pass
         if self._profiling:
             jax.profiler.stop_trace()
             self._profiling = False
+            self._profiled = True
             self.logger.info(f"profiler trace written to {self.profile[0]}")
         out = meter.mean()
         out["epoch_time"] = time.time() - t_epoch
