@@ -59,7 +59,9 @@ class ModelConfig:
     # reference's eval-time python view loop, mvsformer_model.py:379-399)
     fused_variant: int = 1  # 1 = row-batched matmul, 2 = transpose-free,
     # 3 = transpose-free + per-row y-windows (KR=4 x-matmuls)
-    fused_train_warp: bool = False  # kernel fwd + XLA-recompute bwd in training
+    fused_train_warp: bool = False  # fused kernel fwd in the training warp
+    fused_native_bwd: bool = True  # Pallas backward kernel (exact band
+    # adjoint, no XLA gather/scatter); False = XLA-recompute VJP fallback
     fused_bf16_band: bool = False  # bf16 source band + tent weights in the
     # fused kernel (native-MXU bf16 path, fp32 accumulation); validate
     # accuracy on real DTU before enabling in production

@@ -111,6 +111,7 @@ class TwinMVSNet(nn.Module):
                 fused_band_rows=cfg.fused_band_rows,
                 fused_variant=cfg.fused_variant,
                 fused_train_warp=cfg.fused_train_warp,
+                fused_native_bwd=cfg.fused_native_bwd,
                 fused_bf16_band=cfg.fused_bf16_band,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",

@@ -1,19 +1,22 @@
-"""Training-path fused warp+correlation: Pallas forward, XLA-recompute VJP.
+"""Training-path fused warp+correlation: Pallas forward, kernel or XLA VJP.
 
 The fused kernel (warp_corr.py) is forward-only. For training we wrap it in a
-custom_vjp whose backward re-derives gradients through the XLA gather
-formulation (recompute — nothing from the kernel is differentiated):
+custom_vjp with two backward implementations:
 
-- forward: the banded-matmul kernel; the warped volume never reaches HBM, so
-  the [B, D, H, W, C] residual the autodiff path would have stored simply
-  does not exist (large activation-memory saving at train time);
-- backward: jax.vjp of homo_warp+groupwise_correlation, recomputed from the
-  saved inputs. The cotangent math is exact; forward values differ from the
-  XLA path only at band-clipped out-of-frustum pixels.
+- native_bwd=True (default): the Pallas backward kernel
+  (warp_corr_bwd.plane_sweep_group_corr_bwd) — the exact adjoint of the
+  band-formulated forward, computed as transposed banded matmuls with no
+  XLA gather/scatter anywhere in the training warp;
+- native_bwd=False: jax.vjp of homo_warp+groupwise_correlation, recomputed
+  from the saved inputs (the round-1 fallback; exact for the UNclipped
+  gather formulation, so it deviates from the kernel forward at
+  band-clipped pixels).
 
-Gated behind ModelConfig.fused_train_warp (off by default until validated on
-real DTU training); depth-value cotangents are zero by construction, matching
-the reference's no_grad coordinate computation (warping.py:79).
+Either way the [B, D, H, W, C] warped-volume residual the autodiff path
+would have stored never exists (large activation-memory saving at train
+time). Gated behind ModelConfig.fused_train_warp; depth-value cotangents are
+zero by construction, matching the reference's no_grad coordinate
+computation (warping.py:79).
 """
 
 from __future__ import annotations
@@ -28,10 +31,10 @@ from mvsformer_tpu.ops import geometry
 from mvsformer_tpu.ops.pallas import warp_corr
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def fused_warp_corr_train(ref_fea, src_fea, src_proj, ref_proj, depth_values,
                           groups: int = 8, band_rows: int = 12,
-                          variant: int = 1):
+                          variant: int = 1, native_bwd: bool = True):
     # Variant 3's narrow per-row y-window clips more pixels than the block
     # band, and with want_invalid=False those clips are silent while the
     # recompute-backward uses unclipped XLA values — keep training on the
@@ -47,24 +50,36 @@ def fused_warp_corr_train(ref_fea, src_fea, src_proj, ref_proj, depth_values,
 
 
 def _fwd(ref_fea, src_fea, src_proj, ref_proj, depth_values, groups,
-         band_rows, variant):
+         band_rows, variant, native_bwd):
     corr = fused_warp_corr_train(ref_fea, src_fea, src_proj, ref_proj,
-                                 depth_values, groups, band_rows, variant)
+                                 depth_values, groups, band_rows, variant,
+                                 native_bwd)
     return corr, (ref_fea, src_fea, src_proj, ref_proj, depth_values)
 
 
-def _bwd(groups, band_rows, variant, residuals, dcorr):
+def _bwd(groups, band_rows, variant, native_bwd, residuals, dcorr):
     ref_fea, src_fea, src_proj, ref_proj, depth_values = residuals
 
-    def xla_path(ref, src):
-        warped, _ = geometry.homo_warp(
-            src.astype(jnp.float32), src_proj.astype(jnp.float32),
-            ref_proj.astype(jnp.float32), depth_values.astype(jnp.float32))
-        return corr_ops.groupwise_correlation(ref.astype(jnp.float32), warped,
-                                              groups)
+    if native_bwd:
+        from mvsformer_tpu.ops.pallas.warp_corr_bwd import (
+            plane_sweep_group_corr_bwd,
+        )
 
-    _, vjp = jax.vjp(xla_path, ref_fea, src_fea)
-    dref, dsrc = vjp(dcorr)
+        dref, dsrc = plane_sweep_group_corr_bwd(
+            ref_fea, src_fea, src_proj.astype(jnp.float32),
+            ref_proj.astype(jnp.float32), depth_values, dcorr,
+            groups=groups, band_rows=band_rows)
+    else:
+        def xla_path(ref, src):
+            warped, _ = geometry.homo_warp(
+                src.astype(jnp.float32), src_proj.astype(jnp.float32),
+                ref_proj.astype(jnp.float32),
+                depth_values.astype(jnp.float32))
+            return corr_ops.groupwise_correlation(
+                ref.astype(jnp.float32), warped, groups)
+
+        _, vjp = jax.vjp(xla_path, ref_fea, src_fea)
+        dref, dsrc = vjp(dcorr)
     return (dref.astype(ref_fea.dtype), dsrc.astype(src_fea.dtype),
             jnp.zeros_like(src_proj), jnp.zeros_like(ref_proj),
             jnp.zeros_like(depth_values))

@@ -5,6 +5,8 @@ cascade stage shape, one source view — the per-kernel ledger behind
 docs/DESIGN.md. Run on a real TPU:
 
   python tools/kernel_bench.py [--iters 20] [--stages 1,2,3,4]
+  python tools/kernel_bench.py --train_bwd   # training fwd+bwd ledger at the
+                                             # 512x640 training stage shapes
 
 Prints one line per (stage, impl) with ms/call and the speedup vs XLA.
 """
@@ -28,6 +30,14 @@ STAGE_SHAPES = {
     4: (1152, 1536, 4, 8),
 }
 
+# DTU training barrel 512x640 (scale_batch_map's largest bucket).
+TRAIN_STAGE_SHAPES = {
+    1: (64, 80, 32, 64),
+    2: (128, 160, 16, 32),
+    3: (256, 320, 8, 16),
+    4: (512, 640, 4, 8),
+}
+
 
 def main():
     parser = argparse.ArgumentParser()
@@ -35,6 +45,8 @@ def main():
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--stages", default="1,2,3,4")
     parser.add_argument("--band_rows", type=int, default=12)
+    parser.add_argument("--train_bwd", action="store_true",
+                        help="benchmark training fwd+grad instead of eval fwd")
     args = parser.parse_args()
 
     import jax
@@ -57,7 +69,36 @@ def main():
         warped, _ = geometry.homo_warp(src, sp, rp, dv)
         return correlation.groupwise_correlation(ref, warped, 8)
 
-    impls = {
+    if args.train_bwd:
+        # Training ledger: value+grad of a scalar loss through the warp+corr,
+        # comparing full-XLA autodiff, kernel-fwd + XLA-recompute bwd, and
+        # kernel-fwd + native Pallas bwd.
+        from mvsformer_tpu.ops.pallas.warp_corr_train import (
+            fused_warp_corr_train,
+        )
+
+        def grad_impl(corr_fn):
+            def loss(ref, src, sp, rp, dv):
+                return (corr_fn(ref, src, sp, rp, dv) ** 2).sum()
+            return jax.jit(jax.grad(loss, argnums=(0, 1)))
+
+        impls = {
+            "xla": grad_impl(
+                lambda ref, src, sp, rp, dv: correlation.groupwise_correlation(
+                    ref, geometry.homo_warp(src, sp, rp, dv)[0], 8)),
+            "kfwd_xla_bwd": grad_impl(
+                lambda ref, src, sp, rp, dv: fused_warp_corr_train(
+                    ref, src, sp, rp, dv, 8, args.band_rows, 1, False)),
+            "kfwd_kbwd": grad_impl(
+                lambda ref, src, sp, rp, dv: fused_warp_corr_train(
+                    ref, src, sp, rp, dv, 8, args.band_rows, 1, True)),
+        }
+        shapes = TRAIN_STAGE_SHAPES
+    else:
+        shapes = STAGE_SHAPES
+        impls = None  # filled below
+
+    impls = impls or {
         "xla": xla_path,
         "v1": lambda ref, src, sp, rp, dv: warp_corr.plane_sweep_group_corr(
             ref, src, sp, rp, dv, groups=8, band_rows=args.band_rows,
@@ -74,7 +115,7 @@ def main():
     }
 
     for stage in (int(s) for s in args.stages.split(",")):
-        H, W, D, C = STAGE_SHAPES[stage]
+        H, W, D, C = shapes[stage]
         ref = jnp.asarray(rng.standard_normal((1, H, W, C)).astype(np.float32))
         src = jnp.asarray(rng.standard_normal((1, H, W, C)).astype(np.float32))
         K = np.array([[W * 1.4, 0, W / 2], [0, W * 1.4, H / 2], [0, 0, 1]],
