@@ -87,6 +87,13 @@ def worker(args):
         cfg.use_fused_warp = True
         cfg.fused_variant = int(args.variant[1:])  # "v1" -> 1
         cfg.fused_bf16_band = args.bf16_band
+        if args.train:
+            # Train-step bench of a fused variant measures the training warp:
+            # kernel forward + native Pallas backward (or the XLA-recompute
+            # VJP with --train_xla_bwd); plain `--train` (xla variant) keeps
+            # the all-XLA gather path as the baseline.
+            cfg.fused_train_warp = True
+            cfg.fused_native_bwd = not args.train_xla_bwd
     model = build_model(cfg, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
@@ -314,6 +321,10 @@ def main():
                              "number and vs_baseline track the fused path)")
     parser.add_argument("--train", action="store_true",
                         help="benchmark the training step instead of eval")
+    parser.add_argument("--train_xla_bwd", action="store_true",
+                        help="with --train + a fused variant: use the "
+                             "XLA-recompute VJP instead of the native "
+                             "Pallas backward kernel")
     parser.add_argument("--bf16_band", action="store_true",
                         help="bf16 source band in the fused kernel")
     parser.add_argument("--batch", type=int, default=1,

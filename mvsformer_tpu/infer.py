@@ -25,21 +25,81 @@ from mvsformer_tpu.utils.cams import CameraParams, write_cam_file
 from mvsformer_tpu.utils.pfm import save_pfm
 
 
-def make_infer_fn(model, tmps=(5.0, 5.0, 5.0, 1.0), want_stage_confs=True):
+def make_infer_fn(model, tmps=(5.0, 5.0, 5.0, 1.0), want_stage_confs=True,
+                  mesh=None, nstages=4):
     """Jitted eval forward returning depth, combined (+ per-stage) confidence.
 
     With want_stage_confs=False the stacked per-stage maps are not returned,
     letting XLA DCE their full-resolution upsampling/transfer (they are only
-    consumed by --no-combine_conf fusion)."""
+    consumed by --no-combine_conf fusion).
+
+    With a mesh, the forward is a shard_map SPMD program: the batch of
+    reference views is sharded over "data" and the source views over "view"
+    (partial cost volumes completed by StageNet's psum) — multi-chip serving
+    the reference (single-GPU test.py:232-249) has no analog of. The model
+    must have been built with view_axis="view" when the mesh's view axis > 1.
+    """
+    if mesh is None:
+        @jax.jit
+        def fn(params, batch_stats, imgs, projs, depth_values):
+            out = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                imgs, projs, depth_values, training=False, tmp=list(tmps))
+            stage_confs = [out[f"stage{i}"]["photometric_confidence"]
+                           for i in range(1, 5)] if want_stage_confs else []
+            return (out["refined_depth"], out["photometric_confidence"],
+                    stage_confs)
+
+        return fn
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    stages = [f"stage{i+1}" for i in range(nstages)]
+
+    def local_eval(params, batch_stats, batch):
+        imgs = jnp.concatenate([batch["imgs_ref"], batch["imgs_src"]], axis=1)
+        projs = {k: jnp.concatenate(
+            [batch["proj_ref"][k], batch["proj_src"][k]], axis=1)
+            for k in batch["proj_ref"]}
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs, projs, batch["depth_values"], training=False,
+            tmp=list(tmps))
+        stage_confs = tuple(out[s]["photometric_confidence"]
+                            for s in stages) if want_stage_confs else ()
+        return (out["refined_depth"], out["photometric_confidence"],
+                stage_confs)
+
+    rep = P()
+    batch_specs = {
+        "imgs_ref": P("data"),
+        "imgs_src": P("data", "view"),
+        "proj_ref": {s: P("data") for s in stages},
+        "proj_src": {s: P("data", "view") for s in stages},
+        "depth_values": P("data"),
+    }
+    n_confs = nstages if want_stage_confs else 0
+    sharded = shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(rep, rep, batch_specs),
+        out_specs=(P("data"), P("data"), (P("data"),) * n_confs),
+        axis_names={"data", "view"},
+        check_vma=False,
+    )
 
     @jax.jit
     def fn(params, batch_stats, imgs, projs, depth_values):
-        out = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            imgs, projs, depth_values, training=False, tmp=list(tmps))
-        stage_confs = [out[f"stage{i}"]["photometric_confidence"]
-                       for i in range(1, 5)] if want_stage_confs else []
-        return out["refined_depth"], out["photometric_confidence"], stage_confs
+        batch = {
+            "imgs_ref": imgs[:, :1],
+            "imgs_src": imgs[:, 1:],
+            "proj_ref": {k: v[:, :1] for k, v in projs.items()},
+            "proj_src": {k: v[:, 1:] for k, v in projs.items()},
+            "depth_values": depth_values,
+        }
+        depth, conf, stage_confs = sharded(params, batch_stats, batch)
+        return depth, conf, list(stage_confs)
 
     return fn
 
@@ -48,9 +108,15 @@ def save_depth(model, params, batch_stats, testlist, datapath, outdir,
                num_view=5, ndepths=192, interval_scale=1.06, max_h=1152,
                max_w=1536, tmps=(5.0, 5.0, 5.0, 1.0), dataset="dtu",
                batch_size=1, combine_conf=True, use_short_range=False,
-               logger=print):
-    """Run inference over every reference view of every scan in `testlist`."""
-    infer = make_infer_fn(model, tmps, want_stage_confs=not combine_conf)
+               mesh=None, logger=print):
+    """Run inference over every reference view of every scan in `testlist`.
+
+    With a mesh, each batch of reference views is an SPMD forward over the
+    ("data","view") axes (see make_infer_fn); trailing partial batches are
+    padded to the data-axis multiple and the pad outputs dropped."""
+    infer = make_infer_fn(model, tmps, want_stage_confs=not combine_conf,
+                          mesh=mesh)
+    n_data = mesh.shape.get("data", 1) if mesh is not None else 1
     ds = MVSEvalDataset(datapath, testlist, nviews=num_view, ndepths=ndepths,
                         interval_scale=interval_scale, max_h=max_h, max_w=max_w,
                         dataset=dataset, use_short_range=use_short_range)
@@ -62,22 +128,33 @@ def save_depth(model, params, batch_stats, testlist, datapath, outdir,
     metric_sum = {}
     metric_count = 0
     for batch in loader:
+        B = batch["imgs"].shape[0]
+        if B % n_data != 0:
+            pad = n_data - B % n_data
+
+            def _pad(x):
+                if isinstance(x, np.ndarray) and x.ndim >= 1 and x.shape[0] == B:
+                    return np.concatenate([x, np.repeat(x[-1:], pad, 0)], 0)
+                return x
+
+            batch = {k: jax.tree.map(_pad, v) if k != "filename" else v
+                     for k, v in batch.items()}
         imgs = jnp.asarray(batch["imgs"])
         projs = {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()
                  if k in ("stage1", "stage2", "stage3", "stage4")}
         dv = jnp.asarray(batch["depth_values"])
         t0 = time.perf_counter()
         depth, conf, stage_confs = infer(params, batch_stats, imgs, projs, dv)
-        depth = np.asarray(depth)
+        depth = np.asarray(depth)[:B]
         times.append(time.perf_counter() - t0)
 
-        conf = np.asarray(conf)
-        stage_confs = [np.asarray(c) for c in stage_confs]
+        conf = np.asarray(conf)[:B]
+        stage_confs = [np.asarray(c)[:B] for c in stage_confs]
 
         if "depth_gt" in batch:
             di = float(dv[0, 1] - dv[0, 0]) / 2.65
-            gt = jnp.asarray(batch["depth_gt"])
-            mask = jnp.asarray(batch["mask"]) > 0.5
+            gt = jnp.asarray(batch["depth_gt"][:B])
+            mask = jnp.asarray(batch["mask"][:B]) > 0.5
             m = metric_lib.depth_metrics(jnp.asarray(depth), gt, mask, di)
             for k, v in m.items():
                 metric_sum[k] = metric_sum.get(k, 0.0) + float(v)

@@ -70,6 +70,15 @@ def main():
     parser.add_argument("--dtype", default="bf16", choices=["bf16", "fp32"])
     parser.add_argument("--platform", type=str, default=None,
                         help="force a jax platform (e.g. 'cpu' for smoke runs)")
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="reference views per inference batch (rounded up "
+                             "to --data_parallel)")
+    parser.add_argument("--data_parallel", type=int, default=1,
+                        help="shard the reference-view batch over this many "
+                             "devices")
+    parser.add_argument("--view_parallel", type=int, default=1,
+                        help="shard source views over this many devices "
+                             "(cost-volume psum)")
     parser.add_argument("--eval_view_chunk", type=int, default=0,
                         help=">0: backbone processes views in chunks of this "
                              "many at eval (HBM valve for large shapes / many "
@@ -104,7 +113,25 @@ def main():
         if args.eval_view_chunk:
             cfg.arch.eval_view_chunk = args.eval_view_chunk
         dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-        model = build_model(cfg.arch, dtype=dtype)
+
+        # Multi-chip inference: reference-view batch sharded over "data",
+        # source views over "view" (StageNet psum completes the partial cost
+        # volumes) — multi-chip serving the single-GPU reference lacks.
+        mesh = None
+        if args.data_parallel * args.view_parallel > 1:
+            from mvsformer_tpu.parallel import mesh as mesh_lib
+
+            mesh = mesh_lib.make_mesh(data=args.data_parallel,
+                                      view=args.view_parallel, depth=1)
+            if (args.num_view - 1) % args.view_parallel != 0:
+                raise SystemExit(
+                    f"--num_view {args.num_view} needs num_view-1 divisible "
+                    f"by --view_parallel {args.view_parallel}")
+            if args.batch_size % args.data_parallel != 0:
+                args.batch_size = args.data_parallel
+        model = build_model(
+            cfg.arch, dtype=dtype,
+            view_axis="view" if args.view_parallel > 1 else None)
 
         # Restore params from the checkpoint (template from a tiny init).
         import numpy as np
@@ -145,8 +172,9 @@ def main():
                    args.testpath, args.outdir, num_view=args.num_view,
                    ndepths=args.ndepths, interval_scale=interval_scale,
                    max_h=args.max_h, max_w=args.max_w, tmps=tmps,
-                   dataset=args.dataset, combine_conf=args.combine_conf,
-                   use_short_range=args.use_short_range)
+                   dataset=args.dataset, batch_size=args.batch_size,
+                   combine_conf=args.combine_conf,
+                   use_short_range=args.use_short_range, mesh=mesh)
 
     if not args.skip_fusion:
         prob_threshold = [float(p) for p in args.prob_threshold.split(",")]
