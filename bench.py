@@ -284,9 +284,12 @@ def orchestrate(args):
         rec = _run_worker("v3", args.timeout, bf16_band=True)
         details["eval_v3_bf16"] = rec
         sys.stderr.write(f"[bench] eval v3+bf16: {json.dumps(rec)}\n")
-        rec = _run_worker(variant, args.timeout, train=True)
-        details["train"] = rec
-        sys.stderr.write(f"[bench] train: {json.dumps(rec)}\n")
+        rec = _run_worker("xla", args.timeout, train=True)
+        details["train_xla"] = rec
+        sys.stderr.write(f"[bench] train xla: {json.dumps(rec)}\n")
+        rec = _run_worker("v1", args.timeout, train=True)
+        details["train_fused_kbwd"] = rec
+        sys.stderr.write(f"[bench] train fused+kbwd: {json.dumps(rec)}\n")
         os.makedirs("docs", exist_ok=True)
         with open("docs/BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)

@@ -124,32 +124,23 @@ def save_depth(model, params, batch_stats, testlist, datapath, outdir,
                        num_workers=4)
     loader.set_epoch(0)
 
-    times = []
     metric_sum = {}
     metric_count = 0
-    for batch in loader:
-        B = batch["imgs"].shape[0]
-        if B % n_data != 0:
-            pad = n_data - B % n_data
+    n_batches = 0
+    t_start = None
 
-            def _pad(x):
-                if isinstance(x, np.ndarray) and x.ndim >= 1 and x.shape[0] == B:
-                    return np.concatenate([x, np.repeat(x[-1:], pad, 0)], 0)
-                return x
-
-            batch = {k: jax.tree.map(_pad, v) if k != "filename" else v
-                     for k, v in batch.items()}
-        imgs = jnp.asarray(batch["imgs"])
-        projs = {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()
-                 if k in ("stage1", "stage2", "stage3", "stage4")}
-        dv = jnp.asarray(batch["depth_values"])
-        t0 = time.perf_counter()
-        depth, conf, stage_confs = infer(params, batch_stats, imgs, projs, dv)
-        depth = np.asarray(depth)[:B]
-        times.append(time.perf_counter() - t0)
-
-        conf = np.asarray(conf)[:B]
-        stage_confs = [np.asarray(c)[:B] for c in stage_confs]
+    def _process(batch, B, outputs):
+        """Host-side half of one batch: force the (already dispatched) device
+        outputs and write artifacts. Runs while the NEXT batch computes on
+        device (double-buffered readback — jax dispatch is async, so the
+        np.asarray here overlaps the next forward, and the PFM/JPEG writes
+        overlap device compute instead of serializing with it)."""
+        nonlocal metric_count
+        depth_d, conf_d, stage_confs_d = outputs
+        depth = np.asarray(depth_d)[:B]
+        conf = np.asarray(conf_d)[:B]
+        stage_confs = [np.asarray(c)[:B] for c in stage_confs_d]
+        dv = batch["depth_values"]
 
         if "depth_gt" in batch:
             di = float(dv[0, 1] - dv[0, 0]) / 2.65
@@ -159,6 +150,11 @@ def save_depth(model, params, batch_stats, testlist, datapath, outdir,
             for k, v in m.items():
                 metric_sum[k] = metric_sum.get(k, 0.0) + float(v)
             metric_count += 1
+
+        _write_artifacts(batch, B, depth, conf, stage_confs)
+
+    def _write_artifacts(batch, B, depth, conf, stage_confs):
+        dv = batch["depth_values"]
 
         for b, filename in enumerate(batch["filename"]):
             depth_path = os.path.join(outdir, filename.format("depth_est", ".pfm"))
@@ -199,7 +195,36 @@ def save_depth(model, params, batch_stats, testlist, datapath, outdir,
             img = np.clip(img * 255, 0, 255).astype(np.uint8)
             cv2.imwrite(img_path, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
 
-    logger(f"avg inference time: {np.mean(times):.3f}s over {len(times)} batches")
+    pending = None
+    for batch in loader:
+        B = batch["imgs"].shape[0]
+        if B % n_data != 0:
+            pad = n_data - B % n_data
+
+            def _pad(x):
+                if isinstance(x, np.ndarray) and x.ndim >= 1 and x.shape[0] == B:
+                    return np.concatenate([x, np.repeat(x[-1:], pad, 0)], 0)
+                return x
+
+            batch = {k: jax.tree.map(_pad, v) if k != "filename" else v
+                     for k, v in batch.items()}
+        imgs = jnp.asarray(batch["imgs"])
+        projs = {k: jnp.asarray(v) for k, v in batch["proj_matrices"].items()
+                 if k in ("stage1", "stage2", "stage3", "stage4")}
+        dv = jnp.asarray(batch["depth_values"])
+        if t_start is None:
+            t_start = time.perf_counter()
+        outputs = infer(params, batch_stats, imgs, projs, dv)  # async dispatch
+        if pending is not None:
+            _process(*pending)
+        pending = (batch, B, outputs)
+        n_batches += 1
+    if pending is not None:
+        _process(*pending)
+
+    total = time.perf_counter() - t_start if t_start is not None else 0.0
+    logger(f"avg inference time: {total / max(n_batches, 1):.3f}s over "
+           f"{n_batches} batches (pipelined readback)")
     if metric_count:
         metrics = {k: v / metric_count for k, v in metric_sum.items()}
         with open(os.path.join(outdir, "depth_metric.txt"), "w") as f:
