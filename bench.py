@@ -290,15 +290,27 @@ def orchestrate(args):
         rec = _run_worker("v1", args.timeout, train=True)
         details["train_fused_kbwd"] = rec
         sys.stderr.write(f"[bench] train fused+kbwd: {json.dumps(rec)}\n")
+        rec = _run_worker("v3", args.timeout, train=True)
+        details["train_v3_kbwd"] = rec
+        sys.stderr.write(f"[bench] train v3+kbwd: {json.dumps(rec)}\n")
+        # Batched eval of the best single-map variant: amortizes dispatch and
+        # per-batch host sync; skipped silently if HBM does not fit B=2.
+        best_v = max(
+            (k for k in ("eval_v1", "eval_v2", "eval_v3")
+             if details.get(k) and not details[k].get("degraded")),
+            key=lambda k: details[k]["value"], default=None)
+        if best_v:
+            v = best_v.split("_")[1]
+            rec = _run_worker(v, args.timeout, batch=2)
+            details[f"eval_{v}_b2"] = rec
+            sys.stderr.write(f"[bench] eval {v} b2: {json.dumps(rec)}\n")
         os.makedirs("docs", exist_ok=True)
         with open("docs/BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)
         # headline = best NON-degraded accelerator eval variant (a CPU-proxy
         # record is measured at an incomparable shape and must never win)
-        best = max((r for r in (details.get("eval_xla"), details.get("eval_v1"),
-                                details.get("eval_v2"), details.get("eval_v3"),
-                                details.get("eval_v3_bf16"))
-                    if r and not r.get("degraded")
+        best = max((r for k, r in details.items()
+                    if k.startswith("eval_") and r and not r.get("degraded")
                     and r.get("platform") != "cpu"),
                    key=lambda r: r["value"], default=None)
         print(json.dumps(best if best else attempt_chain()))

@@ -117,6 +117,14 @@ def save_depth(model, params, batch_stats, testlist, datapath, outdir,
     infer = make_infer_fn(model, tmps, want_stage_confs=not combine_conf,
                           mesh=mesh)
     n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+    if mesh is not None:
+        # Checkpoint-restored arrays are committed to device 0; shard_map
+        # needs them placed (replicated) over the whole mesh.
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        params, batch_stats = jax.tree.map(
+            lambda x: jax.device_put(x, rep), (params, batch_stats))
     ds = MVSEvalDataset(datapath, testlist, nviews=num_view, ndepths=ndepths,
                         interval_scale=interval_scale, max_h=max_h, max_w=max_w,
                         dataset=dataset, use_short_range=use_short_range)

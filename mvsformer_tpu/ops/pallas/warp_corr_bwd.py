@@ -54,6 +54,8 @@ from mvsformer_tpu.ops.pallas.warp_corr import ROWS, XT, _pad_to
 def _kernel_bwd(
     y_start_ref,  # scalar-prefetch [B*D*HB] i32 (band starts)
     x_start_ref,  # scalar-prefetch [B*D*HB*NXT] i32
+    y_off_ref,  # scalar-prefetch [B*D*HB*NXT*ROWS] i32 (row window - band;
+    #             all-zero when KR == K, i.e. full-band mode)
     px_ref,  # [1, DP, 1, ROWS, XT] f32
     py_ref,  # [1, DP, 1, ROWS, XT] f32
     ref_ref,  # [1, ROWS, C, XT] f32 (HCW tile)
@@ -63,13 +65,14 @@ def _kernel_bwd(
     dref_ref,  # [1, ROWS, C, Wp] f32 (VMEM block, d-resident accumulator)
     dsrc_ref,  # [B, H+K, C, WSRC] f32 (HBM; RMW accumulator)
     band_ref,  # scratch [2, DP, K, C, WSRC]
-    dp_buf,  # scratch [K*C, XT]
+    dp_buf,  # scratch [KR*C, XT]
     dband_buf,  # scratch [K*C, JT]
     rmw_buf,  # scratch [K, C, JT]
     sem,  # DMA semaphores [2, DP]
     rmw_sem,  # DMA semaphores [2] (0 = read, 1 = write)
     *,
     K: int,
+    KR: int,  # per-row y-window height (== K for full-band mode)
     JT: int,
     C: int,
     G: int,
@@ -129,16 +132,19 @@ def _kernel_bwd(
 
         j_abs = x0.astype(jnp.float32) + jax.lax.broadcasted_iota(
             jnp.int32, (JT, 1), 0).astype(jnp.float32)
-        k_abs = y0.astype(jnp.float32) + jax.lax.broadcasted_iota(
-            jnp.int32, (K, 1), 0).astype(jnp.float32)
+        kr_iota = jax.lax.broadcasted_iota(jnp.int32, (KR, 1), 0).astype(
+            jnp.float32)
 
-        band2 = band_ref[slot, dp, :, :, pl.ds(x0, JT)].reshape(K * C, JT)
-
+        dband_buf[...] = jnp.zeros_like(dband_buf)
         for r in range(ROWS):
+            off = y_off_ref[(flat_row * NXT + xt) * ROWS + r]
+            band_r = band_ref[slot, dp, pl.ds(off, KR), :,
+                              pl.ds(x0, JT)].reshape(KR * C, JT)
             px_r = px_ref[0, dp, 0, r].reshape(1, XT)
             py_r = py_ref[0, dp, 0, r].reshape(1, XT)
             wxt = jnp.maximum(1.0 - jnp.abs(j_abs - px_r), 0.0)  # [JT, XT]
-            wy = jnp.maximum(1.0 - jnp.abs(k_abs - py_r), 0.0)  # [K, XT]
+            k_abs = (y0 + off).astype(jnp.float32) + kr_iota  # [KR, 1]
+            wy = jnp.maximum(1.0 - jnp.abs(k_abs - py_r), 0.0)  # [KR, XT]
 
             # Group-expanded cotangent for this row: [C, XT].
             dcex = jax.lax.dot_general(
@@ -149,29 +155,28 @@ def _kernel_bwd(
 
             # ---- dref: recompute warped (forward math), accumulate. ----
             p = jax.lax.dot_general(
-                band2, wxt,
+                band_r, wxt,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [K*C, XT]
+            )  # [KR*C, XT]
             warped = jnp.zeros((C, XT), jnp.float32)
-            for k in range(K):
+            for k in range(KR):
                 warped = warped + wy[k:k + 1] * p[k * C:(k + 1) * C]
             col = pl.ds(xt * XT, XT)
             dref_ref[0, r, :, col] = dref_ref[0, r, :, col] + warped * dcex
 
             # ---- dsrc: dP[k*C+c, x] = wy[k,x] * ref[c,x] * dcex[c,x]. ----
             t = ref_ref[0, r].astype(jnp.float32) * dcex  # [C, XT]
-            for k in range(K):
+            for k in range(KR):
                 dp_buf[k * C:(k + 1) * C, :] = wy[k:k + 1] * t
             dband = jax.lax.dot_general(
                 dp_buf[...], wxt,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [K*C, JT]
-            if r == 0:
-                dband_buf[...] = dband
-            else:
-                dband_buf[...] = dband_buf[...] + dband
+            )  # [KR*C, JT]
+            # Scatter the row's window into the block band at its offset.
+            sl = pl.ds(off * C, KR * C)
+            dband_buf[sl, :] = dband_buf[sl, :] + dband
 
         # Read-modify-write the K-row band window of dsrc. The grid runs
         # sequentially and both DMAs are waited before the next window's
@@ -187,7 +192,7 @@ def _kernel_bwd(
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "band_rows",
-                                             "band_cols"))
+                                             "band_cols", "row_band"))
 def plane_sweep_group_corr_bwd(
     ref_fea,  # [B, H, W, C] f32
     src_fea,  # [B, H, W, C] f32
@@ -198,18 +203,26 @@ def plane_sweep_group_corr_bwd(
     groups: int = 8,
     band_rows: int = 12,
     band_cols: int = 384,
+    row_band: int | None = None,
 ):
     """VJP of the band-formulated fused warp+corr w.r.t. (ref_fea, src_fea).
 
     Returns (dref [B, H, W, C], dsrc [B, H, W, C]), both f32. Coordinates and
     depth values carry zero cotangent by construction (the reference computes
     warp coordinates under no_grad, warping.py:79).
+
+    row_band=KR selects the v3 per-row y-window formulation (each output
+    row's matmuls contract a KR-row slice of the band, ~K/KR fewer MACs) —
+    the exact adjoint of plane_sweep_group_corr_v3 with the same row_band.
+    None (default) is the full-band adjoint matching v1/v2 forwards.
     """
     from mvsformer_tpu.ops.geometry import plane_sweep_coords
 
     B, H, W, C = ref_fea.shape
     D = depth_values.shape[1]
     K, JT = band_rows, band_cols
+    KR = row_band if row_band is not None else K
+    assert KR <= K
     G = groups
 
     px, py, _ = plane_sweep_coords(
@@ -254,6 +267,16 @@ def plane_sweep_group_corr_bwd(
     x_min = jnp.floor(px_blk.min(axis=(3, 5))).astype(jnp.int32)
     x_start = jnp.clip((x_min // 128) * 128, 0, max_x0)
 
+    # Per-(row, x-tile) y-window offsets inside the band (v3 semantics);
+    # all-zero in full-band mode so the kernel's pl.ds(off, KR) spans K.
+    if KR < K:
+        py_rt = pyp.reshape(B, D, HB, ROWS, NXT, XT).transpose(
+            0, 1, 2, 4, 3, 5)
+        y_row_min = jnp.floor(py_rt.min(axis=-1)).astype(jnp.int32)
+        y_off = jnp.clip(y_row_min - y_start[:, :, :, None, None], 0, K - KR)
+    else:
+        y_off = jnp.zeros((B, D, HB, NXT, ROWS), jnp.int32)
+
     band_bytes = K * C * WSRC * 4
     DP = 1
     for cand in (4, 2):
@@ -261,8 +284,8 @@ def plane_sweep_group_corr_bwd(
             DP = cand
             break
     grid = (B, HB, D // DP, NXT)
-    kernel = functools.partial(_kernel_bwd, K=K, JT=JT, C=C, G=G, HB=HB,
-                               NXT=NXT, DP=DP)
+    kernel = functools.partial(_kernel_bwd, K=K, KR=KR, JT=JT, C=C, G=G,
+                               HB=HB, NXT=NXT, DP=DP)
 
     px5 = pxp.reshape(B, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
     px5 = px5.reshape(B, D, HB * NXT, ROWS, XT)
@@ -274,7 +297,7 @@ def plane_sweep_group_corr_bwd(
     dref_hcw, dsrc_hcw = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, DP, 1, ROWS, XT),
@@ -300,7 +323,7 @@ def plane_sweep_group_corr_bwd(
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, DP, K, C, WSRC), jnp.float32),
-                pltpu.VMEM((K * C, XT), jnp.float32),
+                pltpu.VMEM((KR * C, XT), jnp.float32),
                 pltpu.VMEM((K * C, JT), jnp.float32),
                 pltpu.VMEM((K, C, JT), jnp.float32),
                 pltpu.SemaphoreType.DMA((2, DP)),
@@ -311,15 +334,15 @@ def plane_sweep_group_corr_bwd(
             jax.ShapeDtypeStruct((B, Hp, C, Wp), jnp.float32),
             jax.ShapeDtypeStruct((B, H + K, C, WSRC), jnp.float32),
         ),
-        # The zeros buffer (operand 7 = 2 scalar-prefetch + 5 tensor inputs)
+        # The zeros buffer (operand 8 = 3 scalar-prefetch + 5 tensor inputs)
         # is donated as the dsrc accumulator so RMW starts from zero.
-        input_output_aliases={7: 1},
+        input_output_aliases={8: 1},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 4,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(y_start.reshape(-1), x_start.reshape(-1), px5, py5, ref_hcw, dcorr_t,
-      src_hcw, dsrc_zero)
+    )(y_start.reshape(-1), x_start.reshape(-1), y_off.reshape(-1),
+      px5, py5, ref_hcw, dcorr_t, src_hcw, dsrc_zero)
 
     dref = jnp.transpose(dref_hcw[:, :H, :, :W], (0, 1, 3, 2))
     dsrc = jnp.transpose(dsrc_hcw[:, :H, :, :W], (0, 1, 3, 2))

@@ -35,14 +35,17 @@ from mvsformer_tpu.ops.pallas import warp_corr
 def fused_warp_corr_train(ref_fea, src_fea, src_proj, ref_proj, depth_values,
                           groups: int = 8, band_rows: int = 12,
                           variant: int = 1, native_bwd: bool = True):
-    # Variant 3's narrow per-row y-window clips more pixels than the block
-    # band, and with want_invalid=False those clips are silent while the
-    # recompute-backward uses unclipped XLA values — keep training on the
-    # wide-band variants (v3 -> v2) so forward/backward stay consistent for
-    # all but the rare K-band clips.
+    # Variant 3 (narrow per-row y-windows) is only used when the NATIVE
+    # backward is on: the Pallas bwd kernel with the same row_band is the
+    # exact adjoint of the clipped forward, so fwd/bwd stay self-consistent.
+    # With the XLA-recompute fallback the backward differentiates the
+    # UNclipped gather formulation, so v3's extra clips would make fwd/bwd
+    # disagree — fall back to the wide-band v2 forward there.
+    if variant == 3 and not native_bwd:
+        variant = 2
     kernel = {
         2: warp_corr.plane_sweep_group_corr_v2,
-        3: warp_corr.plane_sweep_group_corr_v2,
+        3: warp_corr.plane_sweep_group_corr_v3,
     }.get(variant, warp_corr.plane_sweep_group_corr)
     corr, _ = kernel(ref_fea, src_fea, src_proj, ref_proj, depth_values,
                      groups=groups, band_rows=band_rows, want_invalid=False)
@@ -65,10 +68,13 @@ def _bwd(groups, band_rows, variant, native_bwd, residuals, dcorr):
             plane_sweep_group_corr_bwd,
         )
 
+        # variant 3 forward ran per-row KR=4 windows (the v3 default) —
+        # the backward must use the same windows to be its exact adjoint.
         dref, dsrc = plane_sweep_group_corr_bwd(
             ref_fea, src_fea, src_proj.astype(jnp.float32),
             ref_proj.astype(jnp.float32), depth_values, dcorr,
-            groups=groups, band_rows=band_rows)
+            groups=groups, band_rows=band_rows,
+            row_band=4 if variant == 3 else None)
     else:
         def xla_path(ref, src):
             warped, _ = geometry.homo_warp(

@@ -79,6 +79,9 @@ def main():
     parser.add_argument("--view_parallel", type=int, default=1,
                         help="shard source views over this many devices "
                              "(cost-volume psum)")
+    parser.add_argument("--depth_parallel", type=int, default=1,
+                        help="GSPMD depth-hypothesis-slab sharding of the "
+                             "cost volumes over this many devices")
     parser.add_argument("--eval_view_chunk", type=int, default=0,
                         help=">0: backbone processes views in chunks of this "
                              "many at eval (HBM valve for large shapes / many "
@@ -118,24 +121,36 @@ def main():
         # source views over "view" (StageNet psum completes the partial cost
         # volumes) — multi-chip serving the single-GPU reference lacks.
         mesh = None
-        if args.data_parallel * args.view_parallel > 1:
+        depth_sharding = None
+        if args.data_parallel * args.view_parallel * args.depth_parallel > 1:
             from mvsformer_tpu.parallel import mesh as mesh_lib
 
             mesh = mesh_lib.make_mesh(data=args.data_parallel,
-                                      view=args.view_parallel, depth=1)
+                                      view=args.view_parallel,
+                                      depth=args.depth_parallel)
             if (args.num_view - 1) % args.view_parallel != 0:
                 raise SystemExit(
                     f"--num_view {args.num_view} needs num_view-1 divisible "
                     f"by --view_parallel {args.view_parallel}")
             if args.batch_size % args.data_parallel != 0:
                 args.batch_size = args.data_parallel
+            if args.depth_parallel > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                depth_sharding = NamedSharding(mesh, P(None, "depth"))
         model = build_model(
             cfg.arch, dtype=dtype,
-            view_axis="view" if args.view_parallel > 1 else None)
+            view_axis="view" if args.view_parallel > 1 else None,
+            depth_sharding=depth_sharding)
 
         # Restore params from the checkpoint (template from a tiny init).
+        # The init uses a SERIAL twin — a view-axis model has unbound psum
+        # axes outside shard_map; the param tree is identical.
         import numpy as np
 
+        init_model = (build_model(cfg.arch, dtype=dtype)
+                      if args.view_parallel > 1 or depth_sharding is not None
+                      else model)
         dummy_imgs = jnp.zeros((1, 2, 64, 64, 3), jnp.float32)
         dummy_projs = {f"stage{i}": jnp.zeros((1, 2, 2, 4, 4), jnp.float32)
                        for i in range(1, 5)}
@@ -144,7 +159,8 @@ def main():
             dummy_projs)
         dummy_dv = jnp.asarray(np.linspace(400, 900, 48, dtype=np.float32)[None])
         variables = jax.jit(
-            lambda k: model.init(k, dummy_imgs, dummy_projs, dummy_dv, training=False)
+            lambda k: init_model.init(k, dummy_imgs, dummy_projs, dummy_dv,
+                                      training=False)
         )(jax.random.PRNGKey(0))
 
         if args.torch_ckpt:

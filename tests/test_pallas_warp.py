@@ -249,6 +249,43 @@ def test_bwd_kernel_batch2(rng):
             rtol=1e-3, atol=1e-3, err_msg=f"dsrc batch {bi}")
 
 
+def test_bwd_kernel_row_band_is_exact_adjoint(rng):
+    """row_band (v3-window) backward: the correlation is BILINEAR in
+    (ref, src), so its JVP is v3(dr, src) + v3(ref, ds) exactly — the
+    dot-product test <dcorr, J(dr,ds)> == <dref,dr> + <dsrc,ds> validates
+    the backward is the exact adjoint of the clipped v3 forward (which the
+    XLA VJP cannot check at window-clipped pixels)."""
+    from mvsformer_tpu.ops.pallas.warp_corr_bwd import plane_sweep_group_corr_bwd
+
+    H, W, D, C = 24, 128, 3, 8
+    B, G, KR = 1, 8, 4
+    ref = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    src = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    dr = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    ds = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    sp, rp = map(jnp.asarray, random_cameras(rng, B))
+    dv = jnp.asarray(np.broadcast_to(
+        np.linspace(400, 900, D, dtype=np.float32)[None, :, None, None],
+        (B, D, H, W)).copy())
+    kw = dict(groups=G, band_rows=16, band_cols=256)
+
+    with pltpu.force_tpu_interpret_mode():
+        corr, _ = warp_corr.plane_sweep_group_corr_v3(
+            ref, src, sp, rp, dv, row_band=KR, want_invalid=False, **kw)
+        jvp_r, _ = warp_corr.plane_sweep_group_corr_v3(
+            dr, src, sp, rp, dv, row_band=KR, want_invalid=False, **kw)
+        jvp_s, _ = warp_corr.plane_sweep_group_corr_v3(
+            ref, ds, sp, rp, dv, row_band=KR, want_invalid=False, **kw)
+        dcorr = jnp.asarray(
+            rng.standard_normal(corr.shape).astype(np.float32))
+        dref, dsrc = plane_sweep_group_corr_bwd(
+            ref, src, sp, rp, dv, dcorr, row_band=KR, **kw)
+
+    lhs = float(jnp.sum(dcorr * (jvp_r + jvp_s)))
+    rhs = float(jnp.sum(dref * dr) + jnp.sum(dsrc * ds))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-4)
+
+
 def test_fused_train_warp_native_bwd_grads(rng):
     """End-to-end custom_vjp with native_bwd=True: gradients through the
     training wrapper must match the XLA path for in-band geometry."""
@@ -281,6 +318,57 @@ def test_fused_train_warp_native_bwd_grads(rng):
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-3,
                                    atol=1e-3)
+
+
+def test_fused_train_warp_v3_native_bwd_grads(rng):
+    """variant=3 + native_bwd: v3 per-row-window forward paired with the
+    row_band backward kernel must reproduce the XLA gradients when the
+    geometry keeps all taps inside the KR=4 windows (near-fronto cameras)."""
+    from mvsformer_tpu.ops.pallas.warp_corr_train import fused_warp_corr_train
+
+    H, W, D, C, G = 24, 128, 3, 8, 8
+    B = 1
+    ref = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    src = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+
+    # Low-tilt pair: y-rotation only, so py varies gently along a row and the
+    # KR=4 per-row window covers every bilinear tap (no silent clips — the
+    # precondition for XLA agreement; clipped-geometry exactness is covered
+    # by the adjoint dot test above).
+    K = np.array([[200.0, 0, 64.0], [0, 200.0, 12.0], [0, 0, 1]], np.float32)
+
+    def make(angle, tx):
+        c, s = np.cos(angle), np.sin(angle)
+        R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        full = np.eye(4, dtype=np.float32)
+        full[:3, :3] = K @ R
+        full[:3, 3] = K @ np.array([tx, 0.0, 0.0], np.float32)
+        return full
+
+    src_proj = jnp.asarray(make(0.01, 1.5)[None])
+    ref_proj = jnp.asarray(make(0.0, 0.0)[None])
+    dv = jnp.asarray(np.broadcast_to(
+        np.linspace(400, 900, D, dtype=np.float32)[None, :, None, None],
+        (B, D, H, W)).copy())
+
+    def xla_loss(ref, src):
+        warped, _ = geometry.homo_warp(src, src_proj, ref_proj, dv)
+        corr = correlation.groupwise_correlation(ref, warped, G)
+        return (corr ** 2).sum()
+
+    want = jax.grad(xla_loss, argnums=(0, 1))(ref, src)
+
+    def fused_loss(ref, src):
+        corr = fused_warp_corr_train(ref, src, src_proj, ref_proj, dv, G, 16,
+                                     3, True)
+        return (corr ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        got = jax.grad(fused_loss, argnums=(0, 1))(ref, src)
+
+    for g, w, name in zip(got, want, ("dref", "dsrc")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-3,
+                                   atol=1e-3, err_msg=name)
 
 
 def test_stagenet_v3_cnn_fusion_masks_clipped(rng):
