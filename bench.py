@@ -328,7 +328,7 @@ def main():
                         help="write a jax.profiler trace to this directory")
     parser.add_argument("--no_fused", action="store_true",
                         help="disable the Pallas fused warp kernel")
-    parser.add_argument("--variant", default="v1",
+    parser.add_argument("--variant", default="v3",
                         choices=["xla", "v1", "v2", "v3"],
                         help="warp+correlation implementation to benchmark "
                              "(default matches ModelConfig's production "

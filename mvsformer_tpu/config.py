@@ -57,9 +57,12 @@ class ModelConfig:
     eval_view_chunk: int = 0  # >0: eval backbone processes views in chunks of
     # this many (HBM valve at large eval shapes, the TPU analog of the
     # reference's eval-time python view loop, mvsformer_model.py:379-399)
-    fused_variant: int = 1  # 1 = row-batched matmul, 2 = transpose-free,
-    # 3 = transpose-free + per-row y-windows (KR=4 x-matmuls)
-    fused_train_warp: bool = False  # fused kernel fwd in the training warp
+    fused_variant: int = 3  # 1 = row-batched matmul, 2 = transpose-free,
+    # 3 = transpose-free + per-row y-windows (KR=4 x-matmuls). v5e-measured
+    # eval throughput at the DTU shape: v1 1.13 / v2 1.94 / v3 2.10
+    # depth-maps/s/chip vs 0.62 XLA (docs/BENCH_DETAILS.json, round 2)
+    fused_train_warp: bool = True  # fused kernel fwd in the training warp
+    # (v5e: 2.48 train-steps/s with the native bwd vs 0.54 all-XLA)
     fused_native_bwd: bool = True  # Pallas backward kernel (exact band
     # adjoint, no XLA gather/scatter); False = XLA-recompute VJP fallback
     fused_bf16_band: bool = False  # bf16 source band + tent weights in the

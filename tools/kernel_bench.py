@@ -129,14 +129,26 @@ def main():
             np.linspace(425, 900, D, dtype=np.float32)[None, :, None, None],
             (1, D, H, W)).copy())
 
+        # On the tunneled/experimental TPU platform block_until_ready can
+        # return before execution completes (pure dispatch time); a scalar
+        # device->host readback is the only reliable completion barrier
+        # (same workaround as bench.py's run_once). The tunnel round-trip is
+        # ~tens of ms, so it must be paid ONCE per timing window: queue all
+        # iters asynchronously (single device stream executes them serially),
+        # then barrier on the last output.
+        def readback(out):
+            leaf = jax.tree.leaves(out)[0]
+            return float(jnp.sum(leaf[..., ::8, :]))
+
         base_ms = None
         for name, fn in impls.items():
             try:
-                out = fn(ref, src, sp, rp, dv)
-                jax.block_until_ready(out)
+                readback(fn(ref, src, sp, rp, dv))
                 t0 = time.perf_counter()
+                out = None
                 for _ in range(args.iters):
-                    jax.block_until_ready(fn(ref, src, sp, rp, dv))
+                    out = fn(ref, src, sp, rp, dv)
+                readback(out)
                 ms = (time.perf_counter() - t0) / args.iters * 1e3
             except Exception as e:
                 print(f"stage{stage} {name}: FAILED {type(e).__name__}: "
