@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from mvsformer_tpu.models.blocks import Conv3dNormAct, Deconv3dNormAct
+from mvsformer_tpu.ops.smallconv import SmallConv
 
 Dtype = Any
 
@@ -49,8 +50,10 @@ class CostRegNet(nn.Module):
         )
         up = inner + Deconv3dNormAct(c, stride=2, **kw, name="conv11")(up, training)
         if self.last_layer:
-            up = nn.Conv(1, (3, 3, 3), padding="SAME", use_bias=False,
-                         dtype=self.dtype, name="prob")(up)
+            # SmallConv: the 8->1 head is the tiny-C_out layout pathology's
+            # worst case (see ops/smallconv.py) — matmul+shift-add instead.
+            up = SmallConv(1, (3, 3, 3), use_bias=False,
+                           dtype=self.dtype, name="prob")(up)
         return up
 
 
@@ -81,7 +84,7 @@ class CostRegNet3D(nn.Module):
             if conv0.shape[-1] != c else conv0
         )
         up = inner + Deconv3dNormAct(c, stride=s, **kw, name="conv11")(up, training)
-        return nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="prob")(up)
+        return SmallConv(1, (1, 1, 1), dtype=self.dtype, name="prob")(up)
 
 
 class CostRegNet2D(nn.Module):
@@ -113,7 +116,7 @@ class CostRegNet2D(nn.Module):
         up = conv4 + up2d(bott, c * 4, "conv7")
         up = conv2 + up2d(up, c * 2, "conv9")
         up = conv0 + up2d(up, c, "conv11")
-        return nn.Conv(1, (1, 1, 1), dtype=self.dtype, name="prob")(up)
+        return SmallConv(1, (1, 1, 1), dtype=self.dtype, name="prob")(up)
 
 
 class _Deconv2dIn3d(nn.Module):

@@ -14,6 +14,7 @@ from flax import linen as nn
 
 from mvsformer_tpu.models.blocks import ConvNormAct, Deconv2dNormAct, Norm, swish
 from mvsformer_tpu.ops.resize import resize_bilinear
+from mvsformer_tpu.ops.smallconv import SmallConv
 
 Dtype = Any
 
@@ -51,7 +52,15 @@ class _OutBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        x = nn.Conv(self.features, (self.kernel, self.kernel), padding="SAME", dtype=self.dtype)(x)
+        # Tiny-C_out convs (<=32) hit the channel-minor layout pathology;
+        # reformulate as matmul+shift-add (ops/smallconv.py). name="Conv_0"
+        # keeps the param tree byte-identical to the nn.Conv it replaces.
+        if self.features <= 32:
+            x = SmallConv(self.features, (self.kernel, self.kernel),
+                          dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.features, (self.kernel, self.kernel),
+                        padding="SAME", dtype=self.dtype)(x)
         x = Norm(self.norm, dtype=self.dtype, axis_name=self.axis_name)(x, training)
         return swish(x)
 

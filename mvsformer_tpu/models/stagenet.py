@@ -26,6 +26,7 @@ from mvsformer_tpu.models.blocks import ConvBnReLU
 from mvsformer_tpu.models.costreg import CostRegNet, CostRegNet2D, CostRegNet3D
 from mvsformer_tpu.ops import correlation as corr_ops
 from mvsformer_tpu.ops import geometry, regression
+from mvsformer_tpu.ops.smallconv import SmallConv
 
 Dtype = Any
 
@@ -43,7 +44,7 @@ class VisibilityNet(nn.Module):
         x = ConvBnReLU(16, **kw, name="conv0")(entropy, training)
         x = ConvBnReLU(16, **kw, name="conv1")(x, training)
         x = ConvBnReLU(8, **kw, name="conv2")(x, training)
-        x = nn.Conv(1, (1, 1), dtype=self.dtype, name="conv3")(x)
+        x = SmallConv(1, (1, 1), dtype=self.dtype, name="conv3")(x)
         return nn.sigmoid(x.astype(jnp.float32))
 
 
