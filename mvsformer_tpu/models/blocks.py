@@ -12,10 +12,14 @@ step (the TPU equivalent of SyncBatchNorm, train.py:138) when one is supplied.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+
+from mvsformer_tpu.ops.smallconv import (
+    SMALL_CH_MAX, SmallConv, SmallConvTranspose)
 
 Dtype = Any
 
@@ -25,6 +29,52 @@ def _torch_pad(kernel):
     Identical to SAME for stride 1, but torch-aligned (not XLA-SAME) for
     strided convs — required for reference-checkpoint parity."""
     return tuple(((k - 1) // 2, (k - 1) // 2) for k in kernel)
+
+
+# Which tiny-channel conv classes route through the matmul+shift-add path.
+# Measured on-chip per class via `MVSTPU_SMALLCONV=<csv> python bench.py`
+# (docs/DESIGN.md round-2 ledger); "s1" = stride-1 convs, "strided" =
+# downsampling convs, "deconv" = transposed convs.
+_SMALLCONV_MODES = frozenset(
+    os.environ.get("MVSTPU_SMALLCONV", "s1,deconv").split(","))
+_S1_CAP = int(os.environ.get("MVSTPU_SMALLCONV_S1CAP", "144"))
+
+
+def torch_conv(x, features, kernel, stride, use_bias, dtype, name="Conv_0"):
+    """Torch-padded conv; routes tiny-C_out cases through the matmul+shift-add
+    SmallConv (see ops/smallconv.py — XLA's TPU conv emitter picks channel-
+    minor layouts that run at single-digit GB/s below ~32 channels). The two
+    paths have IDENTICAL parameter trees, so the routing is checkpoint- and
+    converter-transparent."""
+    k = tuple(kernel)
+    s = (stride,) * len(k) if isinstance(stride, int) else tuple(stride)
+    mode = "s1" if all(si == 1 for si in s) else "strided"
+    # Stride-1 cap: the all-taps matmul materializes taps*features channels;
+    # beyond the cap the extra z traffic exceeds what the layout fix saves
+    # (measured: blanket s1 routing of 16/32-ch 27-tap 3D convs — taps*f =
+    # 432/864 — regressed the eval frame 2.51 -> 1.61 dm/s).
+    taps = 1
+    for kk in k:
+        taps *= kk
+    small_ok = (features <= SMALL_CH_MAX
+                and (mode != "s1" or taps * features <= _S1_CAP))
+    if small_ok and mode in _SMALLCONV_MODES:
+        return SmallConv(features, k, strides=s, use_bias=use_bias,
+                         dtype=dtype, name=name)(x)
+    return nn.Conv(features, k, strides=s, padding=_torch_pad(k),
+                   use_bias=use_bias, dtype=dtype, name=name)(x)
+
+
+def torch_deconv(x, features, kernel, stride, padding, dtype,
+                 name="ConvTranspose_0"):
+    """Explicit-padding transposed conv with the same tiny-C_out routing."""
+    k = tuple(kernel)
+    s = (stride,) * len(k) if isinstance(stride, int) else tuple(stride)
+    if features <= SMALL_CH_MAX and "deconv" in _SMALLCONV_MODES:
+        return SmallConvTranspose(features, k, strides=s, padding=padding,
+                                  use_bias=False, dtype=dtype, name=name)(x)
+    return nn.ConvTranspose(features, k, strides=s, padding=padding,
+                            use_bias=False, dtype=dtype, name=name)(x)
 
 
 def swish(x):
@@ -72,11 +122,9 @@ class ConvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        x = nn.Conv(
-            self.features, (self.kernel, self.kernel), strides=self.stride,
-            padding=_torch_pad((self.kernel, self.kernel)),
-            use_bias=(self.norm == "none"), dtype=self.dtype,
-        )(x)
+        x = torch_conv(x, self.features, (self.kernel, self.kernel),
+                       self.stride, use_bias=(self.norm == "none"),
+                       dtype=self.dtype)
         x = Norm(self.norm, dtype=self.dtype, axis_name=self.axis_name)(x, training)
         if self.act:
             x = nn.leaky_relu(x, negative_slope=0.1)
@@ -95,11 +143,8 @@ class ConvBnReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        x = nn.Conv(
-            self.features, (self.kernel, self.kernel), strides=self.stride,
-            padding=_torch_pad((self.kernel, self.kernel)),
-            use_bias=False, dtype=self.dtype,
-        )(x)
+        x = torch_conv(x, self.features, (self.kernel, self.kernel),
+                       self.stride, use_bias=False, dtype=self.dtype)
         x = Norm(self.norm, dtype=self.dtype, axis_name=self.axis_name)(x, training)
         return nn.relu(x)
 
@@ -119,10 +164,8 @@ class Conv3dNormAct(nn.Module):
     def __call__(self, x, training: bool = False):
         k = (self.kernel,) * 3 if isinstance(self.kernel, int) else tuple(self.kernel)
         s = (self.stride,) * 3 if isinstance(self.stride, int) else tuple(self.stride)
-        x = nn.Conv(
-            self.features, k, strides=s, padding=_torch_pad(k),
-            use_bias=(self.norm == "none"), dtype=self.dtype,
-        )(x)
+        x = torch_conv(x, self.features, k, s,
+                       use_bias=(self.norm == "none"), dtype=self.dtype)
         x = Norm(self.norm, dtype=self.dtype, axis_name=self.axis_name)(x, training)
         if self.act:
             x = nn.relu(x)
@@ -145,11 +188,8 @@ class Deconv3dNormAct(nn.Module):
         s = (self.stride,) * 3 if isinstance(self.stride, int) else tuple(self.stride)
         # torch ConvTranspose3d(k3, p1, output_padding=s-1) alignment:
         # flax pad (lo,hi) = (k-1-p, k-1-p+op) = (1, s) per axis.
-        x = nn.ConvTranspose(
-            self.features, (3, 3, 3), strides=s,
-            padding=tuple((1, si) for si in s),
-            use_bias=False, dtype=self.dtype,
-        )(x)
+        x = torch_deconv(x, self.features, (3, 3, 3), s,
+                         tuple((1, si) for si in s), dtype=self.dtype)
         x = Norm(self.norm, dtype=self.dtype, axis_name=self.axis_name)(x, training)
         if self.act:
             x = nn.relu(x)
@@ -168,10 +208,8 @@ class Deconv2dNormAct(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         # torch ConvTranspose2d(k4, s2, p1): flax pad (k-1-p,)*2 = (2, 2).
-        x = nn.ConvTranspose(
-            self.features, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
-            use_bias=False, dtype=self.dtype,
-        )(x)
+        x = torch_deconv(x, self.features, (4, 4), (2, 2),
+                         ((2, 2), (2, 2)), dtype=self.dtype)
         x = Norm(self.norm, dtype=self.dtype, axis_name=self.axis_name)(x, training)
         if self.act is not None:
             x = self.act(x)

@@ -129,14 +129,11 @@ class _Deconv2dIn3d(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        from mvsformer_tpu.models.blocks import Norm
+        from mvsformer_tpu.models.blocks import Norm, torch_deconv
 
         # torch ConvTranspose3d(k=(1,3,3), s=(1,2,2), p=(0,1,1), op=(0,1,1))
         # alignment (module.py:521-531): flax pad = (k-1-p, k-1-p+op).
-        x = nn.ConvTranspose(
-            self.features, (1, 3, 3), strides=(1, 2, 2),
-            padding=((0, 0), (1, 2), (1, 2)),
-            use_bias=False, dtype=self.dtype,
-        )(x)
+        x = torch_deconv(x, self.features, (1, 3, 3), (1, 2, 2),
+                         ((0, 0), (1, 2), (1, 2)), dtype=self.dtype)
         x = Norm(self.norm, dtype=self.dtype, axis_name=self.axis_name)(x, training)
         return nn.relu(x)

@@ -119,6 +119,7 @@ def test_train_step_loss_and_grads(model_and_vars):
     assert any(float(jnp.abs(g).max()) > 0 for g in vit_grads)
 
 
+@pytest.mark.slow
 def test_frozen_backbone_gets_no_grads():
     rng = np.random.default_rng(0)
     cfg = tiny_cfg(fix=True)

@@ -27,7 +27,7 @@ CASES = [
     # the two >60s variants run in the nightly/full suite only
     pytest.param("dino", "cnn", "ce", marks=pytest.mark.slow),
     pytest.param("twin", "epipole", "re", marks=pytest.mark.slow),
-    ("twin", "epipoleV2", "mixup_ce"),
+    pytest.param("twin", "epipoleV2", "mixup_ce", marks=pytest.mark.slow),
     ("twin", "cnn", "was"),
 ]
 

@@ -61,6 +61,7 @@ def test_save_depth_multichip_matches_serial(tmp_path):
                                    err_msg=f"view {vid}")
 
 
+@pytest.mark.slow
 def test_save_depth_and_fuse(tmp_path):
     root = make_eval_tree(str(tmp_path / "eval"))
     outdir = str(tmp_path / "out")

@@ -76,3 +76,81 @@ def test_functional_even_shape_guard():
     out = small_conv(x, k)
     np.testing.assert_allclose(np.asarray(jnp.moveaxis(ref, 1, -1)),
                                np.asarray(out), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,ks,cout,strides", [
+    ((2, 9, 11, 8), (3, 3), 16, (2, 2)),          # 2D strided down-conv
+    ((1, 6, 9, 11, 8), (3, 3, 3), 16, (2, 2, 2)), # CostRegNet down-conv
+    ((1, 6, 9, 11, 8), (3, 3, 3), 16, (1, 2, 2)), # CostRegNet3D down-conv
+    ((1, 6, 10, 12, 16), (1, 3, 3), 32, (1, 2, 2)),  # CostRegNet2D
+    ((2, 9, 12, 3), (5, 5), 8, (2, 2)),           # 5-tap strided
+])
+def test_strided_parity_vs_nn_conv(shape, ks, cout, strides):
+    """Strided path (space-to-depth + matmul) vs nn.Conv w/ torch padding."""
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, shape, jnp.float32)
+    pad = tuple(((k - 1) // 2,) * 2 for k in ks)
+    ref = nn.Conv(cout, ks, strides=strides, padding=pad,
+                  use_bias=True, dtype=jnp.float32)
+    small = SmallConv(cout, ks, strides=strides, use_bias=True,
+                      dtype=jnp.float32)
+    params = ref.init(jax.random.PRNGKey(1), x)
+    y_ref = ref.apply(params, x)
+    y_small = small.apply(params, x)
+    assert y_ref.shape == y_small.shape
+    np.testing.assert_allclose(np.asarray(y_small), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,ks,cout,strides,pad", [
+    # Deconv3dNormAct: torch ConvTranspose3d(k3, p1, op=s-1) alignment
+    ((1, 4, 5, 6, 16), (3, 3, 3), 8, (2, 2, 2), ((1, 2), (1, 2), (1, 2))),
+    ((1, 4, 5, 6, 16), (3, 3, 3), 8, (1, 2, 2), ((1, 1), (1, 2), (1, 2))),
+    # _Deconv2dIn3d: k=(1,3,3), s=(1,2,2), p=(0,1,1), op=(0,1,1)
+    ((1, 4, 5, 6, 16), (1, 3, 3), 8, (1, 2, 2), ((0, 0), (1, 2), (1, 2))),
+    # Deconv2dNormAct: torch ConvTranspose2d(k4, s2, p1)
+    ((2, 7, 9, 32), (4, 4), 16, (2, 2), ((2, 2), (2, 2))),
+])
+def test_transpose_parity_vs_nn_conv_transpose(shape, ks, cout, strides, pad):
+    """Phase-decomposition deconv vs nn.ConvTranspose (explicit padding)."""
+    from mvsformer_tpu.ops.smallconv import SmallConvTranspose
+
+    x = jax.random.normal(jax.random.PRNGKey(0), shape, jnp.float32)
+    ref = nn.ConvTranspose(cout, ks, strides=strides, padding=pad,
+                           use_bias=False, dtype=jnp.float32)
+    small = SmallConvTranspose(cout, ks, strides=strides, padding=pad,
+                               use_bias=False, dtype=jnp.float32)
+    params = ref.init(jax.random.PRNGKey(1), x)
+    y_ref = ref.apply(params, x)
+    y_small = small.apply(params, x)
+    assert y_ref.shape == y_small.shape
+    np.testing.assert_allclose(np.asarray(y_small), np.asarray(y_ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_strided_and_transpose_gradients_match():
+    """Autodiff through both new paths agrees with the flax originals."""
+    from mvsformer_tpu.ops.smallconv import small_conv_transpose
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 6, 8, 8))
+    k = jax.random.normal(jax.random.PRNGKey(3), (3, 3, 3, 8, 16)) * 0.1
+    pad = tuple(((kk - 1) // 2,) * 2 for kk in (3, 3, 3))
+    g1 = jax.grad(lambda k_: jnp.sum(
+        jnp.sin(small_conv(x, k_, strides=(1, 2, 2)))))(k)
+    g2 = jax.grad(lambda k_: jnp.sum(jnp.sin(
+        nn.Conv(16, (3, 3, 3), strides=(1, 2, 2), padding=pad,
+                use_bias=False).apply({"params": {"kernel": k_}}, x))))(k)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
+
+    xt = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 4, 5, 16))
+    kt = jax.random.normal(jax.random.PRNGKey(5), (3, 3, 3, 16, 8)) * 0.1
+    padt = ((1, 2), (1, 2), (1, 2))
+    g1 = jax.grad(lambda k_: jnp.sum(jnp.sin(
+        small_conv_transpose(xt, k_, (2, 2, 2), padt))))(kt)
+    g2 = jax.grad(lambda k_: jnp.sum(jnp.sin(
+        nn.ConvTranspose(8, (3, 3, 3), strides=(2, 2, 2), padding=padt,
+                         use_bias=False).apply(
+            {"params": {"kernel": k_}}, xt))))(kt)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-4)
