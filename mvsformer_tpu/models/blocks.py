@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 from typing import Any, Callable, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -81,6 +82,32 @@ def swish(x):
     return x * nn.sigmoid(x)
 
 
+class _FoldedBN(nn.Module):
+    """Inference BatchNorm as one per-channel compute-dtype affine.
+
+    y = x * (scale * rsqrt(var + eps)) + (bias - mean * scale * rsqrt(...)),
+    with the fold computed in f32 on the [C] vectors only. Declares the SAME
+    variables as nn.BatchNorm (params scale/bias, batch_stats mean/var), so
+    train-time nn.BatchNorm checkpoints load transparently.
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        feat = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((feat,), jnp.float32)).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((feat,), jnp.float32)).value
+        inv = jax.lax.rsqrt(var.astype(jnp.float32) + self.epsilon)
+        mul = scale.astype(jnp.float32) * inv
+        add = bias.astype(jnp.float32) - mean.astype(jnp.float32) * mul
+        return x * mul.astype(x.dtype) + add.astype(x.dtype)
+
+
 class Norm(nn.Module):
     """Normalization dispatcher: 'BN' | 'IN' | 'GN' | 'none'."""
 
@@ -92,11 +119,21 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x, training: bool = False):
         if self.kind == "BN":
+            if not training:
+                # Eval fast path: fold the running stats into one per-channel
+                # affine, computed in f32 on the TINY [C] vectors and applied
+                # in the compute dtype. flax's BatchNorm promotes the whole
+                # activation to f32 here (normalization.py promote_dtype) —
+                # profiled at ~12 ms/frame of f32 layout copies on the
+                # stage-4 cost volume alone. _FoldedBN's variable tree is
+                # identical to nn.BatchNorm's, so checkpoints are unaffected.
+                return _FoldedBN(name="BatchNorm_0")(x)
             return nn.BatchNorm(
-                use_running_average=not training,
+                use_running_average=False,
                 momentum=self.momentum,
                 dtype=self.dtype,
-                axis_name=self.axis_name if training else None,
+                axis_name=self.axis_name,
+                name="BatchNorm_0",
             )(x)
         if self.kind == "GN":
             groups = min(8, x.shape[-1])

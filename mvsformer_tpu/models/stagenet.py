@@ -16,6 +16,7 @@ TPU-first notes:
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -32,7 +33,13 @@ Dtype = Any
 
 
 class VisibilityNet(nn.Module):
-    """Entropy -> per-pixel visibility weight CNN (mvsformer_model.py:37)."""
+    """Entropy -> per-pixel visibility weight CNN (mvsformer_model.py:37).
+
+    At BN-norm inference on TPU the whole stack runs as ONE Pallas kernel
+    (ops/pallas/vis_net.py) — its 8/16-channel full-resolution intermediates
+    otherwise dominate HBM traffic (~13 ms/frame profiled). Training, GN
+    configs, and CPU keep the flax path; both consume the same param tree.
+    """
 
     norm: str = "BN"
     dtype: Dtype = jnp.bfloat16
@@ -40,6 +47,33 @@ class VisibilityNet(nn.Module):
 
     @nn.compact
     def __call__(self, entropy, training: bool = False):
+        B, H, W, _ = entropy.shape
+        use_kernel = (
+            os.environ.get("MVSTPU_FUSED_VIS", "1") == "1"
+            and not training and self.norm == "BN"
+            and not self.is_initializing()
+            and H >= 24 and H % 8 == 0 and W % 128 == 0
+            and jax.devices()[0].platform == "tpu"
+        )
+        if use_kernel:
+            from mvsformer_tpu.ops.pallas.vis_net import fused_visibility
+
+            p = self.variables["params"]
+            bs = self.variables["batch_stats"]
+
+            def st(c):
+                bn_p = p[c]["Norm_0"]["BatchNorm_0"]
+                bn_s = bs[c]["Norm_0"]["BatchNorm_0"]
+                return (bn_p["scale"], bn_p["bias"],
+                        bn_s["mean"], bn_s["var"])
+
+            w = fused_visibility(
+                entropy[..., 0].astype(jnp.float32),
+                p["conv0"]["Conv_0"]["kernel"], p["conv1"]["Conv_0"]["kernel"],
+                p["conv2"]["Conv_0"]["kernel"],
+                p["conv3"]["kernel"], p["conv3"]["bias"],
+                (st("conv0"), st("conv1"), st("conv2")))
+            return w[..., None]
         kw = dict(norm=self.norm, dtype=self.dtype, axis_name=self.axis_name)
         x = ConvBnReLU(16, **kw, name="conv0")(entropy, training)
         x = ConvBnReLU(16, **kw, name="conv1")(x, training)

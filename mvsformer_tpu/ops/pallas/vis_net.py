@@ -1,0 +1,168 @@
+"""Fused VisibilityNet as a single Pallas TPU kernel.
+
+The visibility CNN (reference mvsformer_model.py:30-44: three 3x3 ConvBnReLU
+1->16->16->8 + a 1x1 conv + sigmoid) runs per source view at FULL resolution.
+In the XLA graph its 8/16-channel NHWC tensors get channel-minor T(2,128)
+layouts and the whole stack runs at ~100 GB/s effective — a round-2 profile
+attributed ~13 ms/frame to it (docs/DESIGN.md). The arithmetic is trivial
+(~50 GFLOP/frame); the cost is pure HBM traffic on intermediates.
+
+This kernel computes the ENTIRE net per (batch, row-block) grid step with all
+intermediates resident in VMEM:
+
+  * activations live as [C, rows, W] — W in lanes, channels in sublanes — so
+    every op is lane-dense regardless of channel count;
+  * each 3x3 conv is ONE MXU matmul: stack the 9 shifted tap copies to a
+    patch tensor [taps*Cin, rows*W] and contract from the left with the
+    reshaped kernel [taps*Cin, Cout] (the same left-contraction trick as
+    ops/pallas/warp_corr.py);
+  * BatchNorm is pre-folded to a per-channel affine (running stats — the
+    kernel serves inference; training uses the flax path);
+  * HBM traffic is exactly: entropy in, weight map out.
+
+Row halo (3 rows each side for the three stacked 3x3 convs) is DMA'd with a
+clamped static-size band + in-VMEM shift/zero-fill, zero-padding semantics
+identical to torch's p=1 convs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HALO = 3  # three stacked 3x3 convs
+
+
+def _shift_w(x, dx, w):
+    """Static lane-shift: x [..., W+2] -> x[..., dx:dx+w]."""
+    return jax.lax.slice_in_dim(x, dx, dx + w, axis=x.ndim - 1)
+
+
+def _conv3x3(x, k2, mul, add, rows_out):
+    """x [Cin, R_in, W] bf16 -> relu(affine(conv)) [Cout, rows_out, W] bf16.
+
+    k2: [9*Cin, Cout] f32/bf16 with tap-major, cin-minor row order.
+    """
+    cin, r_in, w = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)))
+    taps = []
+    for dy in range(3):
+        for dx in range(3):
+            taps.append(_shift_w(xp[:, dy:dy + rows_out, :], dx, w))
+    patch = jnp.concatenate(taps, axis=0)  # [9*Cin, rows_out, W]
+    y = jax.lax.dot_general(
+        k2.astype(jnp.bfloat16), patch.reshape(9 * cin, rows_out * w),
+        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    cout = k2.shape[1]
+    # mul/add arrive as [C, 1] (2-D — Mosaic can't reshape 1-D vectors);
+    # apply the affine on the 2-D matmul result via sublane broadcast.
+    y = jnp.maximum(y * mul + add, 0.0).astype(jnp.bfloat16)
+    return y.reshape(cout, rows_out, w)
+
+
+def _vis_kernel(ent_hbm, k0, k1, k2, k3, m0, a0, m1, a1, m2, a2,
+                out_ref, band, sem, *, rb, h, w):
+    b = pl.program_id(0)
+    hb = pl.program_id(1)
+    r0 = hb * rb
+    # Clamped band DMA: HBM sublane tiling requires 8-row-aligned slice
+    # shape AND start, so fetch NB = roundup(rb+6+7, 8) rows from an
+    # 8-aligned start; the selection matmul below absorbs the offset.
+    nbd = band.shape[0]
+    s = jnp.clip(r0 - HALO, 0, h - nbd)
+    s = (s // 8) * 8
+    pltpu.make_async_copy(
+        ent_hbm.at[b, pl.ds(s, nbd), :], band, sem).start()
+    pltpu.make_async_copy(
+        ent_hbm.at[b, pl.ds(s, nbd), :], band, sem).wait()
+    # Virtual band row j == global row r0-3+j; zero outside [0, H).
+    # vb[j] = band[j + d] where d = (r0-3) - s; rows with j+d outside the
+    # band are zeros (that condition exactly captures global rows outside
+    # [0, H) given the clamp invariants). Mosaic supports neither
+    # dynamic_slice nor sublane dynamic rotates, so realign with a one-hot
+    # selection matmul: S[j, i] = (i == j + d), vb = S @ band — an
+    # [nb, nb] x [nb, W] matmul, trivial next to the convs.
+    d = (r0 - HALO) - s
+    nb = rb + 2 * HALO
+    jj = jax.lax.broadcasted_iota(jnp.int32, (nb, nbd), 0)
+    ii = jax.lax.broadcasted_iota(jnp.int32, (nb, nbd), 1)
+    sel = (ii == jj + d).astype(jnp.float32)
+    vb = jax.lax.dot_general(sel, band[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+    def mask_rows(y, start):
+        # Rows outside [0, H) must be EXACT zeros for the next conv's
+        # zero-padding semantics — the folded BN affine + relu otherwise
+        # leaves relu(add) != 0 in the halo (conv-of-zeros is not zero).
+        g = start + jax.lax.broadcasted_iota(jnp.int32, (1, y.shape[1], 1), 1)
+        return jnp.where((g >= 0) & (g < h), y, jnp.zeros_like(y))
+
+    x0 = vb.astype(jnp.bfloat16)[None]                      # [1, rb+6, W]
+    y0 = _conv3x3(x0, k0[...], m0[...], a0[...], rb + 4)    # [16, rb+4, W]
+    y0 = mask_rows(y0, r0 - 2)
+    y1 = _conv3x3(y0, k1[...], m1[...], a1[...], rb + 2)    # [16, rb+2, W]
+    y1 = mask_rows(y1, r0 - 1)
+    y2 = _conv3x3(y1, k2[...], m2[...], a2[...], rb)        # [8, rb, W]
+    # 1x1 conv (8 -> 1, with bias) + sigmoid, f32.
+    k3v = k3[...]  # [1, 9] — 8 weights + bias in one padded lane row
+    logit = jnp.zeros((rb, w), jnp.float32)
+    for c in range(8):
+        logit = logit + y2[c].astype(jnp.float32) * k3v[0, c]
+    logit = logit + k3v[0, 8]
+    out_ref[0] = jax.nn.sigmoid(logit)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def fused_visibility(ent, k0, k1, k2, k3, b3, bn_stats,
+                     block_rows: int = 8, interpret: bool = False):
+    """Run the whole visibility CNN in one Pallas kernel.
+
+    ent: [B, H, W] f32 entropy map. k0/k1/k2: [3,3,Cin,Cout] conv kernels
+    (flax HWIO). k3: [1,1,8,1], b3: [1]. bn_stats: ((scale,bias,mean,var) x3)
+    per ConvBnReLU, each [C] f32. Returns [B, H, W] f32 weights.
+    """
+    B, H, W = ent.shape
+    rb = block_rows
+    nbd = -(-(rb + 2 * HALO + 7) // 8) * 8  # DMA band rows (8-aligned)
+    # H % 8 == 0 keeps the top-clamped, floor-aligned DMA window inside the
+    # image while still covering [r0-3, r0+rb+3).
+    assert H >= nbd and H % 8 == 0, (H, rb)
+
+    def fold(st):
+        scale, bias, mean, var = [a.astype(jnp.float32) for a in st]
+        inv = jax.lax.rsqrt(var + 1e-5)
+        mul = scale * inv
+        return mul, bias - mean * mul
+
+    (m0, a0), (m1, a1), (m2, a2) = [
+        tuple(v.reshape(-1, 1) for v in fold(st)) for st in bn_stats]
+    k0r = k0.reshape(9 * 1, 16)
+    k1r = k1.reshape(9 * 16, 16)
+    k2r = k2.reshape(9 * 16, 8)
+    # 8 tap weights + bias packed into one padded lane row.
+    k3r = jnp.concatenate(
+        [k3.reshape(8), b3.reshape(1)]).astype(jnp.float32).reshape(1, 9)
+
+    grid = (B, pl.cdiv(H, rb))
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_vis_kernel, rb=rb, h=H, w=W),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # ent stays in HBM
+            small, small, small, small,
+            small, small, small, small, small, small,
+        ],
+        out_specs=pl.BlockSpec((1, rb, W), lambda b, hb: (b, hb, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((nbd, W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(ent, k0r, k1r, k2r, k3r, m0, a0, m1, a1, m2, a2)
