@@ -12,17 +12,19 @@ intermediates resident in VMEM:
 
   * activations live as [C, rows, W] — W in lanes, channels in sublanes — so
     every op is lane-dense regardless of channel count;
-  * each 3x3 conv is ONE MXU matmul: stack the 9 shifted tap copies to a
-    patch tensor [taps*Cin, rows*W] and contract from the left with the
-    reshaped kernel [taps*Cin, Cout] (the same left-contraction trick as
-    ops/pallas/warp_corr.py);
+  * each 3x3 conv accumulates 9 per-tap left-contraction MXU dots
+    (kernel-slice [Cin, Cout] x shifted activation [Cin, rows*W]) — no patch
+    buffer, so 16-row blocks fit VMEM and the grid has fewer steps;
   * BatchNorm is pre-folded to a per-channel affine (running stats — the
     kernel serves inference; training uses the flax path);
+  * the entropy band DMA is double-buffered across grid steps (the first cut
+    was fixed-overhead-bound at ~14us/step, mostly serial DMA waits);
   * HBM traffic is exactly: entropy in, weight map out.
 
-Row halo (3 rows each side for the three stacked 3x3 convs) is DMA'd with a
-clamped static-size band + in-VMEM shift/zero-fill, zero-padding semantics
-identical to torch's p=1 convs.
+Row halo (3 rows each side for the three stacked 3x3 convs) is DMA'd with an
+8-aligned clamped static-size band and realigned in-VMEM by a one-hot
+selection matmul (Mosaic lowers neither dynamic_slice nor sublane rotates);
+zero-padding semantics identical to torch's p=1 convs.
 """
 
 from __future__ import annotations
@@ -45,53 +47,70 @@ def _shift_w(x, dx, w):
 def _conv3x3(x, k2, mul, add, rows_out):
     """x [Cin, R_in, W] bf16 -> relu(affine(conv)) [Cout, rows_out, W] bf16.
 
-    k2: [9*Cin, Cout] f32/bf16 with tap-major, cin-minor row order.
+    k2: [9*Cin, Cout] with tap-major, cin-minor row order. Accumulates one
+    [Cin, Cout] x [Cin, rows_out*W] dot per tap in f32 — no patch buffer.
     """
     cin, r_in, w = x.shape
+    cout = k2.shape[1]
     xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1)))
-    taps = []
+    acc = None
+    t = 0
     for dy in range(3):
         for dx in range(3):
-            taps.append(_shift_w(xp[:, dy:dy + rows_out, :], dx, w))
-    patch = jnp.concatenate(taps, axis=0)  # [9*Cin, rows_out, W]
-    y = jax.lax.dot_general(
-        k2.astype(jnp.bfloat16), patch.reshape(9 * cin, rows_out * w),
-        (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    cout = k2.shape[1]
+            xs = _shift_w(xp[:, dy:dy + rows_out, :], dx, w)
+            kt = jax.lax.slice_in_dim(k2, t * cin, (t + 1) * cin, axis=0)
+            y = jax.lax.dot_general(
+                kt.astype(jnp.bfloat16), xs.reshape(cin, rows_out * w),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+            t += 1
     # mul/add arrive as [C, 1] (2-D — Mosaic can't reshape 1-D vectors);
-    # apply the affine on the 2-D matmul result via sublane broadcast.
-    y = jnp.maximum(y * mul + add, 0.0).astype(jnp.bfloat16)
-    return y.reshape(cout, rows_out, w)
+    # apply the affine on the 2-D result via sublane broadcast.
+    acc = jnp.maximum(acc * mul + add, 0.0).astype(jnp.bfloat16)
+    return acc.reshape(cout, rows_out, w)
 
 
 def _vis_kernel(ent_hbm, k0, k1, k2, k3, m0, a0, m1, a1, m2, a2,
-                out_ref, band, sem, *, rb, h, w):
+                out_ref, band2, sem2, *, rb, h, w, nbd, hb_total):
     b = pl.program_id(0)
     hb = pl.program_id(1)
+    n_b = pl.num_programs(0)
+    step = b * hb_total + hb
+    slot = jax.lax.rem(step, 2)
+
+    def start_of(hh):
+        # 8-aligned clamped band start; the selection matmul absorbs d.
+        s = jnp.clip(hh * rb - HALO, 0, h - nbd)
+        return (s // 8) * 8
+
+    def dma(bb, hh, slot_idx):
+        return pltpu.make_async_copy(
+            ent_hbm.at[bb, pl.ds(start_of(hh), nbd), :],
+            band2.at[slot_idx], sem2.at[slot_idx])
+
+    @pl.when(step == 0)
+    def _():
+        dma(b, hb, slot).start()
+
+    @pl.when(step + 1 < n_b * hb_total)
+    def _():
+        nstep = step + 1
+        dma(nstep // hb_total, jax.lax.rem(nstep, hb_total), 1 - slot).start()
+
+    dma(b, hb, slot).wait()
+
     r0 = hb * rb
-    # Clamped band DMA: HBM sublane tiling requires 8-row-aligned slice
-    # shape AND start, so fetch NB = roundup(rb+6+7, 8) rows from an
-    # 8-aligned start; the selection matmul below absorbs the offset.
-    nbd = band.shape[0]
-    s = jnp.clip(r0 - HALO, 0, h - nbd)
-    s = (s // 8) * 8
-    pltpu.make_async_copy(
-        ent_hbm.at[b, pl.ds(s, nbd), :], band, sem).start()
-    pltpu.make_async_copy(
-        ent_hbm.at[b, pl.ds(s, nbd), :], band, sem).wait()
-    # Virtual band row j == global row r0-3+j; zero outside [0, H).
-    # vb[j] = band[j + d] where d = (r0-3) - s; rows with j+d outside the
-    # band are zeros (that condition exactly captures global rows outside
-    # [0, H) given the clamp invariants). Mosaic supports neither
-    # dynamic_slice nor sublane dynamic rotates, so realign with a one-hot
-    # selection matmul: S[j, i] = (i == j + d), vb = S @ band — an
-    # [nb, nb] x [nb, W] matmul, trivial next to the convs.
+    s = start_of(hb)
+    # Virtual band row j == global row r0-3+j; vb[j] = band[j + d] with
+    # d = (r0-3) - s, zeros where j+d is outside the band (exactly the
+    # out-of-image rows, given the clamp invariants + H % 8 == 0).
     d = (r0 - HALO) - s
     nb = rb + 2 * HALO
     jj = jax.lax.broadcasted_iota(jnp.int32, (nb, nbd), 0)
     ii = jax.lax.broadcasted_iota(jnp.int32, (nb, nbd), 1)
     sel = (ii == jj + d).astype(jnp.float32)
-    vb = jax.lax.dot_general(sel, band[...], (((1,), (0,)), ((), ())),
+    vb = jax.lax.dot_general(sel, band2[slot], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
 
     def mask_rows(y, start):
@@ -118,15 +137,16 @@ def _vis_kernel(ent_hbm, k0, k1, k2, k3, m0, a0, m1, a1, m2, a2,
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
 def fused_visibility(ent, k0, k1, k2, k3, b3, bn_stats,
-                     block_rows: int = 8, interpret: bool = False):
+                     block_rows: int = 16, interpret: bool = False):
     """Run the whole visibility CNN in one Pallas kernel.
 
-    ent: [B, H, W] f32 entropy map. k0/k1/k2: [3,3,Cin,Cout] conv kernels
-    (flax HWIO). k3: [1,1,8,1], b3: [1]. bn_stats: ((scale,bias,mean,var) x3)
-    per ConvBnReLU, each [C] f32. Returns [B, H, W] f32 weights.
+    ent: [B, H, W] f32 entropy map (H % 8 == 0). k0/k1/k2: [3,3,Cin,Cout]
+    conv kernels (flax HWIO). k3: [1,1,8,1], b3: [1]. bn_stats:
+    ((scale,bias,mean,var) x3) per ConvBnReLU, each [C] f32.
+    Returns [B, H, W] f32 weights.
     """
     B, H, W = ent.shape
-    rb = block_rows
+    rb = min(block_rows, max(8, (H // 2) // 8 * 8))
     nbd = -(-(rb + 2 * HALO + 7) // 8) * 8  # DMA band rows (8-aligned)
     # H % 8 == 0 keeps the top-clamped, floor-aligned DMA window inside the
     # image while still covering [r0-3, r0+rb+3).
@@ -147,13 +167,15 @@ def fused_visibility(ent, k0, k1, k2, k3, b3, bn_stats,
     k3r = jnp.concatenate(
         [k3.reshape(8), b3.reshape(1)]).astype(jnp.float32).reshape(1, 9)
 
-    grid = (B, pl.cdiv(H, rb))
+    hb_total = pl.cdiv(H, rb)
+    grid = (B, hb_total)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_vis_kernel, rb=rb, h=H, w=W),
+        functools.partial(_vis_kernel, rb=rb, h=H, w=W, nbd=nbd,
+                          hb_total=hb_total),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),  # ent stays in HBM
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
             small, small, small, small,
             small, small, small, small, small, small,
         ],
@@ -161,8 +183,8 @@ def fused_visibility(ent, k0, k1, k2, k3, b3, bn_stats,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((nbd, W), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, nbd, W), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(ent, k0r, k1r, k2r, k3r, m0, a0, m1, a1, m2, a2)

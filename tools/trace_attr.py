@@ -75,8 +75,10 @@ def main():
     for ev in data.get("traceEvents", []):
         if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
             continue
-        dur = ev.get("dur", 0) / 1e3  # us -> ms
         name = ev.get("name", "?")
+        if name.startswith("jit_") or name.startswith("jit("):
+            continue  # whole-module wrapper event overlaps all op events
+        dur = ev.get("dur", 0) / 1e3  # us -> ms
         total += dur
         tmin = min(tmin, ev.get("ts", tmin))
         tmax = max(tmax, ev.get("ts", 0) + ev.get("dur", 0))
