@@ -31,8 +31,82 @@ class CostRegNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     axis_name: str | None = None
 
+    def _packed_eval(self, x):
+        """Depth-packed inference (see CostRegNet3D._packed_eval /
+        ops/packed3d.py). Here the depth axis is ALSO strided: the packed
+        kernels carry the D-stride as block-band structure (sd=2 down,
+        transposed sd=2 up). Requires D % 8 == 0 (three 2x depth levels)."""
+        import jax
+
+        from mvsformer_tpu.ops import packed3d as pk
+
+        B, D, H, W, C = x.shape
+        c = self.base_ch
+        p = self.variables["params"]
+        bs = self.variables.get("batch_stats", {})
+        dt = self.dtype
+        xp = pk.pack_volume(x).astype(dt)
+
+        def fold(name, d_out):
+            bn_p = p[name]["Norm_0"]["BatchNorm_0"]
+            bn_s = bs[name]["Norm_0"]["BatchNorm_0"]
+            inv = jax.lax.rsqrt(bn_s["var"].astype(jnp.float32) + 1e-5)
+            mul = bn_p["scale"].astype(jnp.float32) * inv
+            add = (bn_p["bias"].astype(jnp.float32)
+                   - bn_s["mean"].astype(jnp.float32) * mul)
+            return jnp.tile(mul, d_out).astype(dt), \
+                jnp.tile(add, d_out).astype(dt)
+
+        def conv(xx, name, d_in, sd, s2):
+            k2 = pk.pack_conv3d_kernel(
+                p[name]["Conv_0"]["kernel"].astype(dt), d_in, sd=sd, pd=1)
+            d_out = (d_in + 2 - 3) // sd + 1
+            y = jax.lax.conv_general_dilated(
+                xx, k2, (s2, s2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            mul, add = fold(name, d_out)
+            return jnp.maximum(y * mul + add, 0), d_out
+
+        def deconv(xx, name, d_in):
+            # torch ConvTranspose3d(k3, s2, p1, op=1): flax pad (1, 2)/axis.
+            k2 = pk.pack_deconv3d_kernel(
+                p[name]["ConvTranspose_0"]["kernel"].astype(dt),
+                d_in, sd=2, lo=1, hi=2)
+            y = jax.lax.conv_transpose(
+                xx, k2, (2, 2), ((1, 2), (1, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            mul, add = fold(name, 2 * d_in)
+            return jnp.maximum(y * mul + add, 0)
+
+        y, d1 = conv(xp, "conv1", D, 2, 2)
+        c2, _ = conv(y, "conv2", d1, 1, 1)
+        y, d2 = conv(c2, "conv3", d1, 2, 2)
+        c4, _ = conv(y, "conv4", d2, 1, 1)
+        y, d3 = conv(c4, "conv5", d2, 2, 2)
+        bott, _ = conv(y, "conv6", d3, 1, 1)
+        up = c4 + deconv(bott, "conv7", d3)
+        up = c2 + deconv(up, "conv9", d2)
+        if C != c:
+            ki = pk.pack_conv3d_kernel(
+                p["inner"]["kernel"].astype(dt), D, sd=1, pd=0)
+            inner = xp @ ki[0, 0] + jnp.tile(p["inner"]["bias"], D).astype(dt)
+        else:
+            inner = xp
+        up = inner + deconv(up, "conv11", d1)
+        if self.last_layer:
+            kp = pk.pack_conv3d_kernel(
+                p["prob"]["kernel"].astype(dt), D, sd=1, pd=1)
+            up = jax.lax.conv_general_dilated(
+                up, kp, (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return pk.unpack_volume(up, D)
+        return pk.unpack_volume(up, D)
+
     @nn.compact
     def __call__(self, x, training: bool = False):
+        if (not training and self.norm == "BN" and x.shape[1] % 8 == 0
+                and not self.is_initializing()):
+            return self._packed_eval(x)
         c = self.base_ch
         kw = dict(norm=self.norm, dtype=self.dtype, axis_name=self.axis_name)
         conv0 = x
@@ -65,8 +139,73 @@ class CostRegNet3D(nn.Module):
     dtype: Dtype = jnp.bfloat16
     axis_name: str | None = None
 
+    def _packed_eval(self, x):
+        """Depth-packed inference: every 3D conv/deconv as a 2D conv over
+        [B, H, W, D*C] (see ops/packed3d.py — the tiny-channel 3D convs cost
+        ~25 ms/frame at the eval shape). Exact; reads the SAME param tree the
+        flax path trains."""
+        import jax
+
+        from mvsformer_tpu.ops import packed3d as pk
+
+        B, D, H, W, C = x.shape
+        c = self.base_ch
+        p = self.variables["params"]
+        bs = self.variables.get("batch_stats", {})
+        dt = self.dtype
+        xp = pk.pack_volume(x).astype(dt)
+
+        def fold(name, d_out):
+            bn_p = p[name]["Norm_0"]["BatchNorm_0"]
+            bn_s = bs[name]["Norm_0"]["BatchNorm_0"]
+            inv = jax.lax.rsqrt(bn_s["var"].astype(jnp.float32) + 1e-5)
+            mul = bn_p["scale"].astype(jnp.float32) * inv
+            add = (bn_p["bias"].astype(jnp.float32)
+                   - bn_s["mean"].astype(jnp.float32) * mul)
+            return jnp.tile(mul, d_out).astype(dt), \
+                jnp.tile(add, d_out).astype(dt)
+
+        def conv(xx, name, stride):
+            k2 = pk.pack_conv3d_kernel(
+                p[name]["Conv_0"]["kernel"].astype(dt), D, sd=1, pd=1)
+            y = jax.lax.conv_general_dilated(
+                xx, k2, (stride, stride), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            mul, add = fold(name, D)
+            return jnp.maximum(y * mul + add, 0)
+
+        def deconv(xx, name):
+            k2 = pk.pack_deconv3d_kernel(
+                p[name]["ConvTranspose_0"]["kernel"].astype(dt),
+                D, sd=1, lo=1, hi=1)
+            y = jax.lax.conv_transpose(
+                xx, k2, (2, 2), ((1, 2), (1, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            mul, add = fold(name, D)
+            return jnp.maximum(y * mul + add, 0)
+
+        c2 = conv(conv(xp, "conv1", 2), "conv2", 1)
+        c4 = conv(conv(c2, "conv3", 2), "conv4", 1)
+        bott = conv(conv(c4, "conv5", 2), "conv6", 1)
+        up = c4 + deconv(bott, "conv7")
+        up = c2 + deconv(up, "conv9")
+        if C != c:
+            ki = pk.pack_conv3d_kernel(
+                p["inner"]["kernel"].astype(dt), D, sd=1, pd=0)
+            inner = xp @ ki[0, 0] + jnp.tile(p["inner"]["bias"], D).astype(dt)
+        else:
+            inner = xp
+        up = inner + deconv(up, "conv11")
+        kp = pk.pack_conv3d_kernel(
+            p["prob"]["kernel"].astype(dt), D, sd=1, pd=0)
+        prob = up @ kp[0, 0] + jnp.tile(p["prob"]["bias"], D).astype(dt)
+        return pk.unpack_volume(prob, D)  # [B, D, H, W, 1]
+
     @nn.compact
     def __call__(self, x, training: bool = False):
+        if (not training and self.norm == "BN"
+                and not self.is_initializing()):
+            return self._packed_eval(x)
         c = self.base_ch
         s = (1, 2, 2)
         kw = dict(norm=self.norm, dtype=self.dtype, axis_name=self.axis_name)

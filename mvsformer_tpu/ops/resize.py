@@ -16,10 +16,58 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _shift(x: Array, delta: int, axis: int, edge: bool) -> Array:
+    """x[k + delta] along axis, zero- or edge-padded at the border."""
+    sl = [slice(None)] * x.ndim
+    pad = [(0, 0)] * x.ndim
+    if delta == 1:
+        sl[axis] = slice(1, None)
+        pad[axis] = (0, 1)
+    else:
+        sl[axis] = slice(0, -1)
+        pad[axis] = (1, 0)
+    return jnp.pad(x[tuple(sl)], pad, mode="edge" if edge else "constant")
+
+
+def _linear_2x(x: Array, axis: int, align_corners: bool) -> Array:
+    """Exact 2x linear upsample as two phases of shift+FMA (gather-free).
+
+    The generic path gathers rows; on TPU those gathers ran ~3x off roofline
+    (round-2 profile: 33 ms/frame in the FPN top-down up2 alone). For
+    out = 2*in the sample positions split into two phases with static
+    neighbours: even i=2k uses x[k-1], x[k]; odd i=2k+1 uses x[k], x[k+1] —
+    only streaming shifts, per-row weight vectors, and a reshape interleave.
+    align_corners=True: weights k/(2n-1) etc. (borders get weight 0, so zero
+    padding is exact). align_corners=False: constant 0.25/0.75 weights with
+    edge-replicated borders (the clamp in the generic path).
+    """
+    n = x.shape[axis]
+    dtype = x.dtype
+    if align_corners:
+        k = jnp.arange(n, dtype=jnp.float32)
+        be = (k / (2 * n - 1)).astype(dtype)          # weight on x[k-1]
+        bo = ((n - 1 - k) / (2 * n - 1)).astype(dtype)  # weight on x[k+1]
+        shape = [1] * x.ndim
+        shape[axis] = n
+        be = be.reshape(shape)
+        bo = bo.reshape(shape)
+        ye = (1 - be) * x + be * _shift(x, -1, axis, edge=False)
+        yo = (1 - bo) * x + bo * _shift(x, +1, axis, edge=False)
+    else:
+        ye = 0.75 * x + 0.25 * _shift(x, -1, axis, edge=True)
+        yo = 0.75 * x + 0.25 * _shift(x, +1, axis, edge=True)
+    out = jnp.stack([ye, yo], axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = 2 * n
+    return out.reshape(new_shape).astype(dtype)
+
+
 def _linear_1d(x: Array, out_size: int, axis: int, align_corners: bool) -> Array:
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
+    if out_size == 2 * in_size and in_size > 1:
+        return _linear_2x(x, axis, align_corners)
     dtype = x.dtype
     pos = jnp.arange(out_size, dtype=jnp.float32)
     if align_corners:

@@ -85,8 +85,13 @@ def main():
         by_bucket[bucket_of(name)] += dur
         by_name[name] += dur
         if args.scope:
-            top = ev.get("args", {}).get("tf_op", "") or name
-            by_scope["/".join(top.split("/")[:2])] += dur
+            top = ev.get("args", {}).get("long_name", "")
+            m = re.search(r'op_name="([^"]*)"', top) if top else None
+            path = m.group(1) if m else (ev.get("args", {}).get("tf_op", "")
+                                         or name)
+            parts = [p for p in path.split("/")
+                     if not p.startswith("jit")][:3]
+            by_scope["/".join(parts) or name] += dur
 
     span = (tmax - tmin) / 1e3 if tmax > tmin else 0.0
     print(f"device-busy total {total:.1f} ms over span {span:.1f} ms "
