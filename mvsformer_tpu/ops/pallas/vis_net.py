@@ -170,6 +170,11 @@ def fused_visibility(ent, k0, k1, k2, k3, b3, bn_stats,
     hb_total = pl.cdiv(H, rb)
     grid = (B, hb_total)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
+    if not interpret:
+        # In-model, XLA likes to leave the producer's output in scoped VMEM
+        # (S(1)); the banded row DMA from a VMEM-resident ref ran 20x slower
+        # than from HBM (3.1 ms vs 0.15 ms per stage-4 call, round-2 trace).
+        ent = pltpu.with_memory_space_constraint(ent, pltpu.MemorySpace.HBM)
     return pl.pallas_call(
         functools.partial(_vis_kernel, rb=rb, h=H, w=W, nbd=nbd,
                           hb_total=hb_total),
