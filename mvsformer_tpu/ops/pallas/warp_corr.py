@@ -31,13 +31,18 @@ kernel from StageNet when `use_fused_warp` is on.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ROWS = 8  # output rows per grid step (sublane tile)
+# Output rows per grid step (sublane tile). Grid-step fixed overhead
+# (~2-3us: scalar loads, window slicing, pipeline bubbles) dominates the
+# per-call time at production shapes, so bigger blocks amortize it; the
+# band row count scales with ROWS in each wrapper to keep coverage.
+ROWS = int(os.environ.get("MVSTPU_WARP_ROWS", "8"))
 XT = 128  # output columns per grid step (lane tile)
 
 
@@ -186,7 +191,7 @@ def plane_sweep_group_corr(
 
     B, H, W, C = ref_fea.shape
     D = depth_values.shape[1]
-    K, JT = band_rows, band_cols
+    K, JT = band_rows + max(0, ROWS - 8), band_cols
     G = groups
 
     px, py, invalid = plane_sweep_coords(
@@ -429,7 +434,7 @@ def plane_sweep_group_corr_v2(
 
     B, H, W, C = ref_fea.shape
     D = depth_values.shape[1]
-    K, JT = band_rows, band_cols
+    K, JT = band_rows + max(0, ROWS - 8), band_cols
     G = groups
 
     px, py, invalid = plane_sweep_coords(
@@ -669,7 +674,7 @@ def plane_sweep_group_corr_v3(
 
     B, H, W, C = ref_fea.shape
     D = depth_values.shape[1]
-    K, JT, KR = band_rows, band_cols, row_band
+    K, JT, KR = band_rows + max(0, ROWS - 8), band_cols, row_band
     assert KR <= K
     G = groups
 

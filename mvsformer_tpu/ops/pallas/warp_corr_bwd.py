@@ -220,7 +220,7 @@ def plane_sweep_group_corr_bwd(
 
     B, H, W, C = ref_fea.shape
     D = depth_values.shape[1]
-    K, JT = band_rows, band_cols
+    K, JT = band_rows + max(0, ROWS - 8), band_cols
     KR = row_band if row_band is not None else K
     assert KR <= K
     G = groups
