@@ -7,8 +7,10 @@ upsampling; FPNDecoderV2 concat-with-ViT multi-scale variant). NHWC layout.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -81,6 +83,47 @@ class FPNDecoder(nn.Module):
 
         intra = conv31
         out0 = _OutBlock(ch[3], kernel=1, **kw, name="out0")(intra, training)
+
+        # EXPERIMENTAL (default OFF): each top-down level as ONE Pallas
+        # kernel (ops/pallas/fpn_up.py). Parity-tested, but measured SLOWER
+        # than the XLA chain on v5e (11 ms/level vs ~55 ms for the whole
+        # chain -> net regression): the per-step [rows, C, W] -> [C, rows, W]
+        # sublane transposes dominate. Kept behind MVSTPU_FUSED_FPN=1 for
+        # re-evaluation on future compiler/hardware versions.
+        use_kernel = (
+            os.environ.get("MVSTPU_FUSED_FPN", "0") == "1"
+            and not training and self.norm == "BN"
+            and not self.is_initializing()
+            and conv31.shape[1] % 8 == 0 and conv31.shape[1] >= 24
+            and jax.devices()[0].platform == "tpu"
+        )
+        if use_kernel:
+            from mvsformer_tpu.ops.pallas.fpn_up import (
+                fpn_up_level, interleave_h, pack_lateral, pack_prev,
+                phases_to_prev)
+
+            p = self.variables["params"]
+            bs = self.variables["batch_stats"]
+
+            def bn(name):
+                bp = p[name]["Norm_0"]["BatchNorm_0"]
+                bsn = bs[name]["Norm_0"]["BatchNorm_0"]
+                return (bp["scale"], bp["bias"], bsn["mean"], bsn["var"])
+
+            prev = pack_prev(conv31.astype(self.dtype))
+            outs = []
+            levels = [(conv21, ch[2]), (conv11, ch[1]), (conv01, ch[0])]
+            for lvl, (lat, co) in enumerate(levels, start=1):
+                out_ph, intra_ph = fpn_up_level(
+                    prev, pack_lateral(lat.astype(self.dtype)),
+                    p[f"inner{lvl}"]["kernel"], p[f"inner{lvl}"]["bias"],
+                    p[f"out{lvl}"]["Conv_0"]["kernel"],
+                    p[f"out{lvl}"]["Conv_0"]["bias"],
+                    bn(f"out{lvl}"), emit_intra=(lvl < 3))
+                outs.append(interleave_h(out_ph))
+                if lvl < 3:
+                    prev = phases_to_prev(intra_ph)
+            return out0, outs[0], outs[1], outs[2]
 
         def up2(x):
             return resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2),

@@ -92,6 +92,10 @@ def resize_bilinear(x: Array, out_hw, spatial_axes=(-3, -2), align_corners=True)
     """Separable bilinear resize of the given two spatial axes."""
     h_ax = spatial_axes[0] % x.ndim
     w_ax = spatial_axes[1] % x.ndim
+    # NOTE: a joint 2x2 9-term formulation over a virtual nearest-upsample
+    # was tried and HBM-OOMed at the eval shape (XLA materialized the padded
+    # shifted copies at output resolution); the per-axis phase path below is
+    # the measured-safe form.
     x = _linear_1d(x, out_hw[0], h_ax, align_corners)
     x = _linear_1d(x, out_hw[1], w_ax, align_corners)
     return x
