@@ -62,11 +62,44 @@ def _linear_2x(x: Array, axis: int, align_corners: bool) -> Array:
     return out.reshape(new_shape).astype(dtype)
 
 
+def _bilinear_matrix(in_size: int, out_size: int, align_corners: bool) -> Array:
+    """Dense [out, in] linear resample matrix (2 nonzeros per row)."""
+    pos = jnp.arange(out_size, dtype=jnp.float32)
+    if align_corners:
+        c = pos * ((in_size - 1) / max(out_size - 1, 1))
+    else:
+        c = jnp.clip((pos + 0.5) * (in_size / out_size) - 0.5,
+                     0.0, in_size - 1)
+    lo = jnp.clip(jnp.floor(c).astype(jnp.int32), 0, max(in_size - 2, 0))
+    f = c - lo.astype(jnp.float32)
+    j = jnp.arange(in_size, dtype=jnp.int32)[None, :]
+    return (jnp.where(j == lo[:, None], 1.0 - f[:, None], 0.0)
+            + jnp.where(j == lo[:, None] + 1, f[:, None], 0.0))
+
+
+def _linear_matmul(x: Array, out_size: int, axis: int,
+                   align_corners: bool) -> Array:
+    """Axis resize as a dense MXU matmul (2-nonzero rows).
+
+    The shift+interleave form pays ~6x roofline in stack/reshape relayouts
+    on big NHWC tensors (round-2 profile: ~39 ms/frame in the FPN up2); the
+    dense matmul wastes FLOPs (in_size/2 useful) but streams cleanly:
+    measured faster for the 2x upsample at the eval shape.
+    """
+    mat = _bilinear_matrix(x.shape[axis], out_size, align_corners)
+    mat = mat.astype(jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype)
+    y = jnp.tensordot(mat, x, axes=(1, axis))  # [out, ...x-axes-minus-axis]
+    return jnp.moveaxis(y, 0, axis).astype(x.dtype)
+
+
 def _linear_1d(x: Array, out_size: int, axis: int, align_corners: bool) -> Array:
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
     if out_size == 2 * in_size and in_size > 1:
+        import os
+        if os.environ.get("MVSTPU_RESIZE2X", "matmul") == "matmul":
+            return _linear_matmul(x, out_size, axis, align_corners)
         return _linear_2x(x, axis, align_corners)
     dtype = x.dtype
     pos = jnp.arange(out_size, dtype=jnp.float32)
