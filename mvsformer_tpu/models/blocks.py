@@ -78,6 +78,28 @@ def torch_deconv(x, features, kernel, stride, padding, dtype,
                             use_bias=False, dtype=dtype, name=name)(x)
 
 
+class MatmulConv1x1(nn.Module):
+    """1x1 conv as an explicit matmul.
+
+    nn.Conv(1x1) lowers through XLA's conv emitter, which picks W-tiled
+    layouts + full-res layout copies on big NHWC tensors (the FPN lateral
+    1x1s cost ~8 ms/frame that way; swapping to x @ kernel measured
+    3.77 -> 4.23 dm/s). Param tree identical to nn.Conv."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 1, x.shape[-1], self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        return x @ kernel[0, 0] + bias
+
+
 def swish(x):
     return x * nn.sigmoid(x)
 

@@ -13,7 +13,7 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mvsformer_tpu.models.blocks import Deconv2dNormAct, Norm, swish
+from mvsformer_tpu.models.blocks import MatmulConv1x1, Deconv2dNormAct, Norm, swish
 from mvsformer_tpu.ops.resize import resize_bilinear
 
 Dtype = Any
@@ -58,11 +58,11 @@ class TwinDecoderStage4(nn.Module):
         ch = self.out_ch * 4
         kw = dict(norm=self.norm, dtype=self.dtype, axis_name=self.axis_name)
         x = Deconv2dNormAct(ch, **kw, act=nn.gelu, name="upsampler0")(x4, training)
-        x = x + nn.Conv(ch, (1, 1), dtype=self.dtype, name="inner1")(x3)
+        x = x + MatmulConv1x1(ch, dtype=self.dtype, name="inner1")(x3)
         x = _ConvNorm(ch // 2, act="relu", **kw, name="smooth1")(x, training)
-        x = _up2(x) + nn.Conv(ch // 2, (1, 1), dtype=self.dtype, name="inner2")(x2)
+        x = _up2(x) + MatmulConv1x1(ch // 2, dtype=self.dtype, name="inner2")(x2)
         x = _ConvNorm(ch // 4, act="relu", **kw, name="smooth2")(x, training)
-        x = _up2(x) + nn.Conv(ch // 4, (1, 1), dtype=self.dtype, name="inner3")(x1)
+        x = _up2(x) + MatmulConv1x1(ch // 4, dtype=self.dtype, name="inner3")(x1)
         x = _ConvNorm(ch // 4, act="swish", **kw, name="smooth3")(x, training)
         return x
 
@@ -80,11 +80,11 @@ class TwinDecoderStage4V2(nn.Module):
         ch = self.out_ch * 4
         kw = dict(norm=self.norm, dtype=self.dtype, axis_name=self.axis_name)
         x = Deconv2dNormAct(ch, **kw, act=nn.gelu, name="upsampler0")(x4, training)
-        x = x + nn.Conv(ch, (1, 1), dtype=self.dtype, name="inner1")(x3)
+        x = x + MatmulConv1x1(ch, dtype=self.dtype, name="inner1")(x3)
         x = _ConvNorm(ch // 2, act="gelu", **kw, name="smooth1")(x, training)
-        x = _up2(x) + nn.Conv(ch // 2, (1, 1), dtype=self.dtype, name="inner2")(x2)
+        x = _up2(x) + MatmulConv1x1(ch // 2, dtype=self.dtype, name="inner2")(x2)
         x = _ConvNorm(ch // 4, act="gelu", **kw, name="smooth2")(x, training)
-        x = _up2(x) + nn.Conv(ch // 4, (1, 1), dtype=self.dtype, name="inner3")(x1)
+        x = _up2(x) + MatmulConv1x1(ch // 4, dtype=self.dtype, name="inner3")(x1)
         out1 = _ConvNorm(ch // 4, act="gelu", **kw, name="smooth3")(x, training)
         out2 = Deconv2dNormAct(ch // 8, **kw, act=nn.gelu, name="decoder1")(out1, training)
         out3 = Deconv2dNormAct(ch // 16, **kw, act=nn.gelu, name="decoder2")(out2, training)
@@ -108,7 +108,7 @@ class AttentionFusionSimple(nn.Module):
             jnp.concatenate([x, att], axis=-1), training)
         att_mean = att.mean(axis=-1, keepdims=True)
         x2 = _ConvNorm(self.vit_ch, act="swish", **kw, name="conv_r")(x * att_mean, training)
-        return nn.Conv(self.out_ch, (1, 1), dtype=self.dtype, name="proj")(x1 * x2)
+        return MatmulConv1x1(self.out_ch, dtype=self.dtype, name="proj")(x1 * x2)
 
 
 class VITDecoderStage4Single(nn.Module):

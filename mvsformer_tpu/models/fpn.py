@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from mvsformer_tpu.models.blocks import ConvNormAct, Deconv2dNormAct, Norm, swish
+from mvsformer_tpu.models.blocks import (
+    ConvNormAct, Deconv2dNormAct, MatmulConv1x1, Norm, swish)
 from mvsformer_tpu.ops.resize import resize_bilinear
 from mvsformer_tpu.ops.smallconv import SmallConv
 
@@ -129,13 +130,13 @@ class FPNDecoder(nn.Module):
             return resize_bilinear(x, (x.shape[1] * 2, x.shape[2] * 2),
                                    spatial_axes=(1, 2), align_corners=True)
 
-        intra = up2(intra) + nn.Conv(final_ch, (1, 1), dtype=self.dtype, name="inner1")(conv21)
+        intra = up2(intra) + MatmulConv1x1(final_ch, dtype=self.dtype, name="inner1")(conv21)
         out1 = _OutBlock(ch[2], **kw, name="out1")(intra, training)
 
-        intra = up2(intra) + nn.Conv(final_ch, (1, 1), dtype=self.dtype, name="inner2")(conv11)
+        intra = up2(intra) + MatmulConv1x1(final_ch, dtype=self.dtype, name="inner2")(conv11)
         out2 = _OutBlock(ch[1], **kw, name="out2")(intra, training)
 
-        intra = up2(intra) + nn.Conv(final_ch, (1, 1), dtype=self.dtype, name="inner3")(conv01)
+        intra = up2(intra) + MatmulConv1x1(final_ch, dtype=self.dtype, name="inner3")(conv01)
         out3 = _OutBlock(ch[0], **kw, name="out3")(intra, training)
 
         return out0, out1, out2, out3
