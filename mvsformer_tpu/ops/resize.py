@@ -88,6 +88,9 @@ def _linear_matmul(x: Array, out_size: int, axis: int,
     """
     mat = _bilinear_matrix(x.shape[axis], out_size, align_corners)
     mat = mat.astype(jnp.bfloat16 if x.dtype == jnp.bfloat16 else x.dtype)
+    # tensordot + moveaxis measured FASTER than the "no-transpose" batched
+    # GEMM form (4.23 vs 3.76 dm/s) — XLA turns this into one big GEMM and
+    # folds the moveaxis into downstream layouts.
     y = jnp.tensordot(mat, x, axes=(1, axis))  # [out, ...x-axes-minus-axis]
     return jnp.moveaxis(y, 0, axis).astype(x.dtype)
 
