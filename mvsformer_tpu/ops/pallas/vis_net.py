@@ -71,8 +71,48 @@ def _conv3x3(x, k2, mul, add, rows_out):
     return acc.reshape(cout, rows_out, w)
 
 
+def _conv3x3_dot3(x, kd, mul, add, rows_out):
+    """Same conv as _conv3x3, as THREE K=3*Cin dots + output lane shifts.
+
+    The per-tap form materializes 9 lane-UNALIGNED slices of the wide input
+    (xp is W+2 lanes) and issues 9 K=Cin dots — both VMEM-stack- and
+    MXU-pipeline-hostile (rb=16 already sat at ~11 MB stack / 61 us per grid
+    step). Here the dy taps are stacked once into a [3*Cin, rows*W] patch
+    (three sublane-offset copies, lane-aligned), each dx issues ONE dot with
+    K=3*Cin, and the +-1 dx alignment happens on the small [Cout, rows, W]
+    f32 output via zero-filled lane shifts — out(c) = y0(c-1)+y1(c)+y2(c+1),
+    identical zero-padding semantics to the padded-input form.
+
+    kd: [3, 3*Cin, Cout], kd[dx, dy*Cin+ci, co] = hwio[dy, dx, ci, co].
+    """
+    cin, r_in, w = x.shape
+    cout = kd.shape[2]
+    xd = jnp.concatenate(
+        [x[:, dy:dy + rows_out, :] for dy in range(3)], axis=0)
+    xd = xd.reshape(3 * cin, rows_out * w)
+    acc = None
+    for dx in range(3):
+        y = jax.lax.dot_general(
+            kd[dx].astype(jnp.bfloat16), xd,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).reshape(cout, rows_out, w)
+        if dx == 0:
+            y = jnp.concatenate(
+                [jnp.zeros((cout, rows_out, 1), y.dtype), y[..., :-1]],
+                axis=-1)
+        elif dx == 2:
+            y = jnp.concatenate(
+                [y[..., 1:], jnp.zeros((cout, rows_out, 1), y.dtype)],
+                axis=-1)
+        acc = y if acc is None else acc + y
+    acc = acc.reshape(cout, rows_out * w)
+    acc = jnp.maximum(acc * mul + add, 0.0).astype(jnp.bfloat16)
+    return acc.reshape(cout, rows_out, w)
+
+
 def _vis_kernel(ent_hbm, k0, k1, k2, k3, m0, a0, m1, a1, m2, a2,
-                out_ref, band2, sem2, *, rb, h, w, nbd, hb_total):
+                out_ref, band2, sem2, *, rb, h, w, nbd, hb_total,
+                dot3=False):
     b = pl.program_id(0)
     hb = pl.program_id(1)
     n_b = pl.num_programs(0)
@@ -120,12 +160,13 @@ def _vis_kernel(ent_hbm, k0, k1, k2, k3, m0, a0, m1, a1, m2, a2,
         g = start + jax.lax.broadcasted_iota(jnp.int32, (1, y.shape[1], 1), 1)
         return jnp.where((g >= 0) & (g < h), y, jnp.zeros_like(y))
 
+    conv = _conv3x3_dot3 if dot3 else _conv3x3
     x0 = vb.astype(jnp.bfloat16)[None]                      # [1, rb+6, W]
-    y0 = _conv3x3(x0, k0[...], m0[...], a0[...], rb + 4)    # [16, rb+4, W]
+    y0 = conv(x0, k0[...], m0[...], a0[...], rb + 4)        # [16, rb+4, W]
     y0 = mask_rows(y0, r0 - 2)
-    y1 = _conv3x3(y0, k1[...], m1[...], a1[...], rb + 2)    # [16, rb+2, W]
+    y1 = conv(y0, k1[...], m1[...], a1[...], rb + 2)        # [16, rb+2, W]
     y1 = mask_rows(y1, r0 - 1)
-    y2 = _conv3x3(y1, k2[...], m2[...], a2[...], rb)        # [8, rb, W]
+    y2 = conv(y1, k2[...], m2[...], a2[...], rb)            # [8, rb, W]
     # 1x1 conv (8 -> 1, with bias) + sigmoid, f32.
     k3v = k3[...]  # [1, 9] — 8 weights + bias in one padded lane row
     logit = jnp.zeros((rb, w), jnp.float32)
@@ -160,9 +201,18 @@ def fused_visibility(ent, k0, k1, k2, k3, b3, bn_stats,
 
     (m0, a0), (m1, a1), (m2, a2) = [
         tuple(v.reshape(-1, 1) for v in fold(st)) for st in bn_stats]
-    k0r = k0.reshape(9 * 1, 16)
-    k1r = k1.reshape(9 * 16, 16)
-    k2r = k2.reshape(9 * 16, 8)
+    # dot3 form (default): [3, 3*Cin, Cout] dx-major packing; legacy per-tap
+    # form keeps the [9*Cin, Cout] tap-major layout (MVSTPU_VIS_DOT3=0).
+    dot3 = os.environ.get("MVSTPU_VIS_DOT3", "1") == "1"
+    if dot3:
+        def pack(k):
+            kk = jnp.transpose(k, (1, 0, 2, 3))  # [dx, dy, ci, co]
+            return kk.reshape(3, kk.shape[1] * kk.shape[2], kk.shape[3])
+        k0r, k1r, k2r = pack(k0), pack(k1), pack(k2)
+    else:
+        k0r = k0.reshape(9 * 1, 16)
+        k1r = k1.reshape(9 * 16, 16)
+        k2r = k2.reshape(9 * 16, 8)
     # 8 tap weights + bias packed into one padded lane row.
     k3r = jnp.concatenate(
         [k3.reshape(8), b3.reshape(1)]).astype(jnp.float32).reshape(1, 9)
@@ -177,7 +227,7 @@ def fused_visibility(ent, k0, k1, k2, k3, b3, bn_stats,
         ent = pltpu.with_memory_space_constraint(ent, pltpu.MemorySpace.HBM)
     return pl.pallas_call(
         functools.partial(_vis_kernel, rb=rb, h=H, w=W, nbd=nbd,
-                          hb_total=hb_total),
+                          hb_total=hb_total, dot3=dot3),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),

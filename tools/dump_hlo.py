@@ -8,6 +8,7 @@ instead. Usage:
 """
 
 import sys
+sys.path.insert(0, ".")
 
 import numpy as np
 
