@@ -12,8 +12,10 @@ intermediates resident in VMEM:
 
   * activations live as [C, rows, W] — W in lanes, channels in sublanes — so
     every op is lane-dense regardless of channel count;
-  * each 3x3 conv accumulates 9 per-tap left-contraction MXU dots
-    (kernel-slice [Cin, Cout] x shifted activation [Cin, rows*W]) — no patch
+  * each 3x3 conv is computed as 3 per-dx left-contraction MXU dots over a
+    dy-stacked [3*Cin, Cout] kernel slab (the "dot3" default — fewer, larger
+    MXU issues); the legacy 9 per-tap [Cin, Cout] dot form is kept behind
+    MVSTPU_VIS_DOT3=0 (read once at import). Either way there is no patch
     buffer, so 16-row blocks fit VMEM and the grid has fewer steps;
   * BatchNorm is pre-folded to a per-channel affine (running stats — the
     kernel serves inference; training uses the flax path);
@@ -30,6 +32,7 @@ zero-padding semantics identical to torch's p=1 convs.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +40,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 HALO = 3  # three stacked 3x3 convs
+
+# Read once at import so the choice is stable across jit tracing (changing the
+# env var mid-process would otherwise silently reuse the first-traced variant).
+_DOT3_DEFAULT = os.environ.get("MVSTPU_VIS_DOT3", "1") == "1"
 
 
 def _shift_w(x, dx, w):
@@ -203,7 +210,7 @@ def fused_visibility(ent, k0, k1, k2, k3, b3, bn_stats,
         tuple(v.reshape(-1, 1) for v in fold(st)) for st in bn_stats]
     # dot3 form (default): [3, 3*Cin, Cout] dx-major packing; legacy per-tap
     # form keeps the [9*Cin, Cout] tap-major layout (MVSTPU_VIS_DOT3=0).
-    dot3 = os.environ.get("MVSTPU_VIS_DOT3", "1") == "1"
+    dot3 = _DOT3_DEFAULT
     if dot3:
         def pack(k):
             kk = jnp.transpose(k, (1, 0, 2, 3))  # [dx, dy, ci, co]
