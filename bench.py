@@ -204,6 +204,38 @@ def worker(args):
         "platform": platform,
         "sec_per_iter": round(dt, 4),
     }
+    # Roofline accounting (VERDICT r2: "4.23 dm/s has no denominator"): XLA's
+    # compiled cost analysis gives the per-iteration FLOPs and HBM bytes of
+    # the EXACT executable measured above; achieved rates vs chip peaks say
+    # how far from speed-of-light the frame runs and which wall it leans on.
+    # Caveat: cost_analysis counts Pallas custom-calls as 0 FLOPs/bytes, so
+    # these are lower bounds when fused kernels carry part of the work.
+    try:
+        if args.train:
+            compiled = train_step.lower(params, bs, opt_state, 0).compile()
+        else:
+            compiled = forward.lower(*fwd_args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):  # older jax returns [dict]
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_hbm = float(ca.get("bytes accessed", 0.0))
+        kind = jax.devices()[0].device_kind
+        # bf16 peak matmul throughput / HBM BW per chip.
+        peaks = {"TPU v5 lite": (197e12, 819e9), "TPU v5e": (197e12, 819e9),
+                 "TPU v4": (275e12, 1228e9), "TPU v5p": (459e12, 2765e9),
+                 "TPU v6 lite": (918e12, 1640e9)}
+        peak_flops, peak_bw = peaks.get(kind, (None, None))
+        rec["device_kind"] = kind
+        rec["flops_per_iter"] = flops
+        rec["hbm_bytes_per_iter"] = bytes_hbm
+        rec["achieved_tflops"] = round(flops / dt / 1e12, 2)
+        rec["achieved_hbm_gbps"] = round(bytes_hbm / dt / 1e9, 1)
+        if peak_flops and on_accel:
+            rec["mfu_pct"] = round(100 * flops / dt / peak_flops, 1)
+            rec["hbm_util_pct"] = round(100 * bytes_hbm / dt / peak_bw, 1)
+    except Exception as e:  # roofline fields are best-effort
+        rec["cost_analysis_error"] = f"{type(e).__name__}: {e}"
     if not on_accel:
         rec["degraded"] = True
         rec["vs_baseline"] = 1.0  # CPU proxy shape is not comparable
@@ -214,9 +246,27 @@ def worker(args):
 # Orchestrator: spawns workers, retries, falls back, always prints one line.
 # --------------------------------------------------------------------------
 
+def _classify_failure(stderr_tail: str) -> str:
+    """'product' = the traceback originates in our own package (a bug we
+    shipped — round 2's vis_net NameError); 'backend' = accelerator/runtime
+    init trouble; 'unknown' otherwise. A product failure must be surfaced
+    loudly, never silently papered over by the CPU-proxy fallback."""
+    if "mvsformer_tpu/" in stderr_tail or "mvsformer_tpu\\" in stderr_tail:
+        return "product"
+    low = stderr_tail.lower()
+    if any(s in low for s in ("backend", "pjrt", "plugin", "initialize",
+                              "unavailable", "deadline", "connect")):
+        return "backend"
+    return "unknown"
+
+
 def _run_worker(variant, timeout, platform_env=None, train=False, profile=None,
-                bf16_band=False, batch=1):
-    """Run one worker subprocess; return parsed JSON record or None."""
+                bf16_band=False, batch=1, fail_info=None):
+    """Run one worker subprocess; return parsed JSON record or None.
+
+    fail_info: optional dict that receives {"error_kind", "stderr_tail"} when
+    the worker fails, so the orchestrator can distinguish product bugs from
+    backend trouble in the final record."""
     cmd = [sys.executable, os.path.abspath(__file__), "--_worker",
            "--variant", variant, "--batch", str(batch)]
     if bf16_band:
@@ -240,6 +290,9 @@ def _run_worker(variant, timeout, platform_env=None, train=False, profile=None,
         if isinstance(tail, bytes):
             tail = tail.decode("utf-8", "replace")
         sys.stderr.write(tail[-2000:] + "\n")
+        if fail_info is not None:
+            fail_info.update(error_kind=_classify_failure(tail[-4000:]),
+                             stderr_tail=tail[-800:], timeout=True)
         return None
     if proc.stdout:
         for line in reversed(proc.stdout.strip().splitlines()):
@@ -249,8 +302,17 @@ def _run_worker(variant, timeout, platform_env=None, train=False, profile=None,
                     return json.loads(line)
                 except json.JSONDecodeError:
                     continue
+    tail = (proc.stderr or "")[-4000:]
     sys.stderr.write(f"[bench] worker variant={variant} rc={proc.returncode}\n")
-    sys.stderr.write((proc.stderr or "")[-2000:] + "\n")
+    sys.stderr.write(tail[-2000:] + "\n")
+    if fail_info is not None:
+        kind = _classify_failure(tail)
+        fail_info.update(error_kind=kind, stderr_tail=tail[-800:])
+        if kind == "product":
+            sys.stderr.write(
+                "[bench] *** PRODUCT FAILURE: traceback originates in "
+                "mvsformer_tpu/ — this is a shipped bug, not backend "
+                "trouble. Fix it; do not trust the fallback number. ***\n")
     return None
 
 
@@ -261,19 +323,30 @@ def orchestrate(args):
     def attempt_chain(train=False):
         # Two accelerator attempts (first pays compile, second rides the
         # persistent cache), then a CPU-proxy fallback, then a stub record.
+        # Worker failures are classified: a traceback originating in
+        # mvsformer_tpu/ is a PRODUCT bug and is carried into the final
+        # record as error_kind so a fallback number can't mask it (round 2:
+        # a shipped NameError silently became a degraded CPU proxy).
+        fail_info = {}
         for timeout in (args.timeout, args.timeout // 2):
             rec = _run_worker(variant, timeout, train=train, profile=profile,
-                              batch=args.batch)
+                              batch=args.batch, fail_info=fail_info)
             if rec:
                 return rec
+            if fail_info.get("error_kind") == "product":
+                break  # retrying a deterministic product bug is pointless
         sys.stderr.write("[bench] accelerator attempts failed; CPU proxy\n")
         rec = _run_worker(variant, 900, platform_env="cpu", train=train)
         if rec:
             rec["degraded"] = True
+            rec.update({k: v for k, v in fail_info.items()
+                        if k in ("error_kind", "stderr_tail")})
             return rec
         return {"metric": "depth-maps/s/chip (FAILED)", "value": 0.0,
                 "unit": "depth-maps/s/chip", "vs_baseline": 0.0,
-                "degraded": True, "error": "all bench attempts failed"}
+                "degraded": True, "error": "all bench attempts failed",
+                **{k: v for k, v in fail_info.items()
+                   if k in ("error_kind", "stderr_tail")}}
 
     if args.all:
         details = {}

@@ -68,6 +68,21 @@ class ModelConfig:
     fused_bf16_band: bool = False  # bf16 source band + tent weights in the
     # fused kernel (native-MXU bf16 path, fp32 accumulation); validate
     # accuracy on real DTU before enabling in production
+    # --- kernel-routing knobs (formerly MVSTPU_* env vars) ---------------
+    # Config is the source of truth and is snapshotted with the run; a SET
+    # MVSTPU_* env var still overrides the matching field (read once at
+    # import) so `MVSTPU_SMALLCONV=<csv> python bench.py` sweeps keep
+    # working without config edits.
+    fused_vis: bool = True  # fused VisibilityNet Pallas kernel (BN-norm
+    # eval on TPU only; ops/pallas/vis_net.py). Env: MVSTPU_FUSED_VIS.
+    fused_fpn: bool = False  # EXPERIMENTAL fused FPN top-down level kernel
+    # (measured slower than the XLA chain on v5e). Env: MVSTPU_FUSED_FPN.
+    smallconv_modes: str = "s1,deconv"  # tiny-channel conv classes routed
+    # through the matmul+shift-add SmallConv path (ops/smallconv.py):
+    # csv of {"s1","strided","deconv"}. Env: MVSTPU_SMALLCONV.
+    smallconv_s1cap: int = 144  # taps*features cap for stride-1 routing
+    # (beyond it the materialized taps*C z-traffic exceeds the layout win).
+    # Env: MVSTPU_SMALLCONV_S1CAP.
     vit_args: ViTConfig = field(default_factory=ViTConfig)
 
 

@@ -32,13 +32,29 @@ def _torch_pad(kernel):
     return tuple(((k - 1) // 2, (k - 1) // 2) for k in kernel)
 
 
-# Which tiny-channel conv classes route through the matmul+shift-add path.
-# Measured on-chip per class via `MVSTPU_SMALLCONV=<csv> python bench.py`
-# (docs/DESIGN.md round-2 ledger); "s1" = stride-1 convs, "strided" =
-# downsampling convs, "deconv" = transposed convs.
-_SMALLCONV_MODES = frozenset(
-    os.environ.get("MVSTPU_SMALLCONV", "s1,deconv").split(","))
-_S1_CAP = int(os.environ.get("MVSTPU_SMALLCONV_S1CAP", "144"))
+# Which tiny-channel conv classes route through the matmul+shift-add path
+# ("s1" = stride-1 convs, "strided" = downsampling convs, "deconv" =
+# transposed convs). Source of truth: ModelConfig.smallconv_modes /
+# .smallconv_s1cap, applied via configure_smallconv() at build_model time; a
+# SET MVSTPU_SMALLCONV / MVSTPU_SMALLCONV_S1CAP env var wins (ad-hoc bench
+# sweeps, docs/DESIGN.md round-2 ledger). Module-level because torch_conv is
+# a free function used by every conv block — set it BEFORE tracing; models
+# built earlier keep whatever routing they were traced with.
+_SMALLCONV_MODES = frozenset("s1,deconv".split(","))
+_S1_CAP = 144
+
+
+def configure_smallconv(modes: str = "s1,deconv", s1cap: int = 144) -> None:
+    """Apply ModelConfig's SmallConv routing knobs (env override wins)."""
+    global _SMALLCONV_MODES, _S1_CAP
+    env_modes = os.environ.get("MVSTPU_SMALLCONV")
+    env_cap = os.environ.get("MVSTPU_SMALLCONV_S1CAP")
+    _SMALLCONV_MODES = frozenset(
+        (env_modes if env_modes is not None else modes).split(","))
+    _S1_CAP = int(env_cap) if env_cap is not None else int(s1cap)
+
+
+configure_smallconv()
 
 
 def torch_conv(x, features, kernel, stride, use_bias, dtype, name="Conv_0"):

@@ -193,7 +193,8 @@ class DINOMVSNet(nn.Module):
                                         dtype=self.dtype, axis_name=self.axis_name)
         else:
             self.decoder = FPNDecoder(feat_chs=tuple(cfg.feat_chs), norm=cfg.norm_type,
-                                      dtype=self.dtype, axis_name=self.axis_name)
+                                      dtype=self.dtype, axis_name=self.axis_name,
+                                      use_fused_level=cfg.fused_fpn)
         if not va.att_fusion:
             self.decoder_vit = VITDecoderStage4NoAtt(out_ch=va.out_ch, vit_ch=vit_ch,
                                                      norm=cfg.norm_type, dtype=self.dtype,
@@ -221,6 +222,7 @@ class DINOMVSNet(nn.Module):
                 fused_train_warp=cfg.fused_train_warp,
                 fused_native_bwd=cfg.fused_native_bwd,
                 fused_bf16_band=cfg.fused_bf16_band,
+                fused_vis=cfg.fused_vis,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",
             )

@@ -21,6 +21,9 @@ from mvsformer_tpu.ops.smallconv import SmallConv
 
 Dtype = Any
 
+# Optional debug override for ModelConfig.fused_fpn, read once at import.
+_FUSED_FPN_ENV = os.environ.get("MVSTPU_FUSED_FPN")
+
 
 class FPNEncoder(nn.Module):
     feat_chs: Sequence[int] = (8, 16, 32, 64)
@@ -75,6 +78,7 @@ class FPNDecoder(nn.Module):
     norm: str = "BN"
     dtype: Dtype = jnp.bfloat16
     axis_name: str | None = None
+    use_fused_level: bool = False  # ModelConfig.fused_fpn (env wins)
 
     @nn.compact
     def __call__(self, conv01, conv11, conv21, conv31, training: bool = False):
@@ -89,10 +93,12 @@ class FPNDecoder(nn.Module):
         # kernel (ops/pallas/fpn_up.py). Parity-tested, but measured SLOWER
         # than the XLA chain on v5e (11 ms/level vs ~55 ms for the whole
         # chain -> net regression): the per-step [rows, C, W] -> [C, rows, W]
-        # sublane transposes dominate. Kept behind MVSTPU_FUSED_FPN=1 for
-        # re-evaluation on future compiler/hardware versions.
+        # sublane transposes dominate. Kept behind ModelConfig.fused_fpn /
+        # MVSTPU_FUSED_FPN=1 for re-evaluation on future compiler versions.
+        fused_wanted = (self.use_fused_level if _FUSED_FPN_ENV is None
+                        else _FUSED_FPN_ENV == "1")
         use_kernel = (
-            os.environ.get("MVSTPU_FUSED_FPN", "0") == "1"
+            fused_wanted
             and not training and self.norm == "BN"
             and not self.is_initializing()
             and conv31.shape[1] % 8 == 0 and conv31.shape[1] >= 24

@@ -87,7 +87,8 @@ class TwinMVSNet(nn.Module):
                                                    axis_name=self.axis_name)
         else:
             self.decoder = FPNDecoder(feat_chs=tuple(cfg.feat_chs), norm=cfg.norm_type,
-                                      dtype=self.dtype, axis_name=self.axis_name)
+                                      dtype=self.dtype, axis_name=self.axis_name,
+                                      use_fused_level=cfg.fused_fpn)
             self.decoder_vit = TwinDecoderStage4(out_ch=cfg.vit_args.out_ch,
                                                  norm=cfg.norm_type, dtype=self.dtype,
                                                  axis_name=self.axis_name)
@@ -113,6 +114,7 @@ class TwinMVSNet(nn.Module):
                 fused_train_warp=cfg.fused_train_warp,
                 fused_native_bwd=cfg.fused_native_bwd,
                 fused_bf16_band=cfg.fused_bf16_band,
+                fused_vis=cfg.fused_vis,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",
             )
@@ -222,6 +224,9 @@ def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None,
     depth-slab GSPMD sharding of the cost volumes (pair with shard_map
     axis_names that leave "depth" automatic).
     """
+    from mvsformer_tpu.models.blocks import configure_smallconv
+
+    configure_smallconv(cfg.smallconv_modes, cfg.smallconv_s1cap)
     if cfg.model_type == "twin":
         return TwinMVSNet(cfg, dtype=dtype, axis_name=axis_name,
                           view_axis=view_axis, depth_sharding=depth_sharding)

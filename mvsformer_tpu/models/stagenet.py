@@ -31,6 +31,10 @@ from mvsformer_tpu.ops.smallconv import SmallConv
 
 Dtype = Any
 
+# Optional debug overrides for the matching ModelConfig fields, read once at
+# import so traced variants can't silently diverge from a changed env var.
+_FUSED_VIS_ENV = os.environ.get("MVSTPU_FUSED_VIS")
+
 
 class VisibilityNet(nn.Module):
     """Entropy -> per-pixel visibility weight CNN (mvsformer_model.py:37).
@@ -44,12 +48,15 @@ class VisibilityNet(nn.Module):
     norm: str = "BN"
     dtype: Dtype = jnp.bfloat16
     axis_name: str | None = None
+    use_fused: bool = True  # ModelConfig.fused_vis (MVSTPU_FUSED_VIS wins)
 
     @nn.compact
     def __call__(self, entropy, training: bool = False):
         B, H, W, _ = entropy.shape
+        fused_wanted = (self.use_fused if _FUSED_VIS_ENV is None
+                        else _FUSED_VIS_ENV == "1")
         use_kernel = (
-            os.environ.get("MVSTPU_FUSED_VIS", "1") == "1"
+            fused_wanted
             and not training and self.norm == "BN"
             and not self.is_initializing()
             and H >= 24 and H % 8 == 0 and W % 128 == 0
@@ -100,6 +107,7 @@ class StageNet(nn.Module):
     fused_train_warp: bool = False
     fused_native_bwd: bool = True  # Pallas bwd kernel vs XLA-recompute VJP
     fused_bf16_band: bool = False  # bf16 band + tent weights (fp32 accum)
+    fused_vis: bool = True  # fused VisibilityNet kernel (ModelConfig.fused_vis)
     # Optional NamedSharding for depth-hypothesis-slab sharding of the cost
     # volume over the mesh's "depth" axis. The constraint makes GSPMD shard
     # the 3D cost-regularization U-Net along D (halo exchanges for the 3x3x3
@@ -133,7 +141,8 @@ class StageNet(nn.Module):
 
         if self.fusion_type == "cnn":
             vis_net = VisibilityNet(norm=self.norm, dtype=self.dtype,
-                                    axis_name=self.axis_name, name="vis")
+                                    axis_name=self.axis_name,
+                                    use_fused=self.fused_vis, name="vis")
         elif self.fusion_type == "epipoleV2":
             attn_temp = self.param("attn_temp", lambda k: jnp.float32(1.0))
 

@@ -9,11 +9,16 @@ one axis at a time — each pass is a static-shape gather that XLA fuses well.
 
 from __future__ import annotations
 
+import os
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# Debug override (read once at import): "matmul" (default, measured faster —
+# one big GEMM) vs the shift+FMA "phase" form for the exact-2x upsample.
+_RESIZE2X_MATMUL = os.environ.get("MVSTPU_RESIZE2X", "matmul") == "matmul"
 
 
 def _shift(x: Array, delta: int, axis: int, edge: bool) -> Array:
@@ -100,8 +105,7 @@ def _linear_1d(x: Array, out_size: int, axis: int, align_corners: bool) -> Array
     if in_size == out_size:
         return x
     if out_size == 2 * in_size and in_size > 1:
-        import os
-        if os.environ.get("MVSTPU_RESIZE2X", "matmul") == "matmul":
+        if _RESIZE2X_MATMUL:
             return _linear_matmul(x, out_size, axis, align_corners)
         return _linear_2x(x, axis, align_corners)
     dtype = x.dtype
