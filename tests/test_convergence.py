@@ -89,8 +89,10 @@ def test_loss_decreases_on_planar_scenes():
         "mask": jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *[s[4] for s in scenes]),
     }
 
-    variables = model.init(jax.random.PRNGKey(0), batch["imgs"], batch["projs"],
-                           batch["dv"], training=False)
+    variables = jax.jit(
+        lambda k: model.init(k, batch["imgs"], batch["projs"],
+                             batch["dv"], training=False)
+    )(jax.random.PRNGKey(0))
     params = variables["params"]
     tx = optax.adam(2e-4)
     opt_state = tx.init(params)
@@ -145,8 +147,10 @@ def test_overfit_reaches_subinterval_depth_accuracy():
     }
     itv = float(dv[1] - dv[0])
 
-    variables = model.init(jax.random.PRNGKey(0), batch["imgs"], batch["projs"],
-                           batch["dv"], training=False)
+    variables = jax.jit(
+        lambda k: model.init(k, batch["imgs"], batch["projs"],
+                             batch["dv"], training=False)
+    )(jax.random.PRNGKey(0))
     params = variables["params"]
     tx = optax.adam(4e-4)
     opt_state = tx.init(params)

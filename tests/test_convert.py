@@ -70,7 +70,8 @@ def test_twins_conversion_matches_init_tree(rng):
     converted = convert_twins(sd)
 
     model = alt_gvt_small(dtype=jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, 64, 64, 3))))(jax.random.PRNGKey(0))
     want = tree_shapes(variables["params"])
     got = tree_shapes(converted)
     assert got == want, (
@@ -118,7 +119,8 @@ def test_dino_conversion_matches_init_tree(rng):
     converted = convert_dino_vit(sd)
 
     model = vit_small(dtype=jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    variables = jax.jit(lambda k: model.init(
+        k, jnp.zeros((1, 64, 64, 3))))(jax.random.PRNGKey(0))
     want = tree_shapes(variables["params"])
     got = tree_shapes(converted)
     assert got == want, (

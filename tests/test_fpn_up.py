@@ -8,6 +8,7 @@ the chained 3-level composition.
 
 import flax
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -34,6 +35,7 @@ def _decoder_variables(rng, shapes, dtype=jnp.float32):
     return dec, v
 
 
+@pytest.mark.slow
 def test_three_level_chain_matches_flax_decoder():
     """Chain the kernel through all three levels and compare out1..out3 and
     out0 against the flax FPNDecoder (CPU platform -> flax path in apply)."""

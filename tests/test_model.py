@@ -51,13 +51,26 @@ def model_and_vars():
     cfg = tiny_cfg()
     model = build_model(cfg, dtype=jnp.float32)
     imgs, projs, dv = make_batch(rng)
-    variables = model.init(jax.random.PRNGKey(0), imgs, projs, dv, training=False)
+    variables = jax.jit(
+        lambda k: model.init(k, imgs, projs, dv, training=False)
+    )(jax.random.PRNGKey(0))
     return cfg, model, variables, (imgs, projs, dv)
 
 
-def test_eval_forward_shapes(model_and_vars):
+@pytest.fixture(scope="module")
+def eval_out(model_and_vars):
+    """ONE jitted eval forward shared by the read-only assertions below
+    (an eager apply was ~90s of the fast tier on CPU)."""
     cfg, model, variables, (imgs, projs, dv) = model_and_vars
-    out = model.apply(variables, imgs, projs, dv, training=False, tmp=[5.0, 5.0, 5.0, 1.0])
+    return jax.jit(
+        lambda v: model.apply(v, imgs, projs, dv, training=False,
+                              tmp=[5.0, 5.0, 5.0, 1.0])
+    )(variables)
+
+
+def test_eval_forward_shapes(model_and_vars, eval_out):
+    cfg, model, variables, (imgs, projs, dv) = model_and_vars
+    out = eval_out
     B, V, H, W, _ = imgs.shape
     for i, scale in enumerate((8, 4, 2, 1)):
         st = out[f"stage{i + 1}"]
@@ -72,9 +85,8 @@ def test_eval_forward_shapes(model_and_vars):
     assert (conf >= 0).all() and (conf <= 1 + 1e-5).all()
 
 
-def test_depths_within_hypothesis_range(model_and_vars):
-    cfg, model, variables, (imgs, projs, dv) = model_and_vars
-    out = model.apply(variables, imgs, projs, dv, training=False)
+def test_depths_within_hypothesis_range(eval_out):
+    out = eval_out
     for i in range(4):
         st = out[f"stage{i + 1}"]
         dvs = np.asarray(st["depth_values"])
@@ -125,7 +137,9 @@ def test_frozen_backbone_gets_no_grads():
     cfg = tiny_cfg(fix=True)
     model = build_model(cfg, dtype=jnp.float32)
     imgs, projs, dv = make_batch(rng)
-    variables = model.init(jax.random.PRNGKey(0), imgs, projs, dv, training=False)
+    variables = jax.jit(
+        lambda k: model.init(k, imgs, projs, dv, training=False)
+    )(jax.random.PRNGKey(0))
     gt = {}
     masks = {}
     B, V, H, W, _ = imgs.shape

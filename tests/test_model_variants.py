@@ -24,12 +24,50 @@ def make_gt(rng, B, H, W):
 
 
 CASES = [
-    # the two >60s variants run in the nightly/full suite only
+    # Full forward+grad per variant is minutes on CPU (the sinkhorn VJP in
+    # "was" alone was 370s); the whole matrix runs in the slow/nightly tier.
+    # The fast tier covers variant WIRING via the forward-only smoke below.
     pytest.param("dino", "cnn", "ce", marks=pytest.mark.slow),
     pytest.param("twin", "epipole", "re", marks=pytest.mark.slow),
     pytest.param("twin", "epipoleV2", "mixup_ce", marks=pytest.mark.slow),
+    pytest.param("twin", "cnn", "was", marks=pytest.mark.slow),
+]
+
+SMOKE_CASES = [
+    ("twin", "epipole", "re"),
+    ("twin", "epipoleV2", "mixup_ce"),
     ("twin", "cnn", "was"),
 ]
+
+
+@pytest.mark.parametrize("model_type,fusion,depth_type", SMOKE_CASES)
+def test_variant_forward_smoke(model_type, fusion, depth_type):
+    """Fast tier: ONE jitted eval forward per variant, loss value computed
+    from its training-mode outputs in the same trace (no grad — the
+    expensive VJPs are exercised by the slow matrix above)."""
+    rng = np.random.default_rng(0)
+    cfg = ModelConfig(
+        model_type=model_type, fusion_type=fusion, depth_type=depth_type,
+        ndepths=[4, 4, 2, 2], norm_type="GN", inverse_depth=True)
+    cfg.vit_args.drop_path_rate = 0.0
+    model = build_model(cfg, dtype=jnp.float32)
+
+    imgs, projs, dv = make_batch(rng, B=1, V=2, H=64, W=64, ndepth_full=32)
+    gt, masks = make_gt(rng, 1, 64, 64)
+
+    @jax.jit
+    def init_and_eval(k):
+        variables = model.init(k, imgs, projs, dv, training=False)
+        out = model.apply(variables, imgs, projs, dv, training=True)
+        loss, _ = losses.total_loss(out, gt, masks, dv[:, 1] - dv[:, 0],
+                                    depth_type=depth_type,
+                                    inverse_depth=cfg.inverse_depth)
+        return out["refined_depth"], loss
+
+    depth, loss = init_and_eval(jax.random.PRNGKey(0))
+    assert depth.shape == (1, 64, 64)
+    assert np.isfinite(np.asarray(depth)).all()
+    assert np.isfinite(float(loss))
 
 
 @pytest.mark.parametrize("model_type,fusion,depth_type", CASES)
@@ -45,7 +83,9 @@ def test_variant_forward_and_grads(model_type, fusion, depth_type):
     model = build_model(cfg, dtype=jnp.float32)
 
     imgs, projs, dv = make_batch(rng, B=1, V=3, H=64, W=64, ndepth_full=32)
-    variables = model.init(jax.random.PRNGKey(0), imgs, projs, dv, training=False)
+    variables = jax.jit(
+        lambda k: model.init(k, imgs, projs, dv, training=False)
+    )(jax.random.PRNGKey(0))
 
     out = model.apply(variables, imgs, projs, dv, training=False,
                       tmp=[5.0, 5.0, 5.0, 1.0])

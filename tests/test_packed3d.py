@@ -67,7 +67,10 @@ def test_pack_deconv3d_kernel_matches_conv_transpose3d():
                                    rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("C,D", [(8, 4), (16, 8)])
+@pytest.mark.parametrize("C,D", [
+    (8, 4),
+    pytest.param(16, 8, marks=pytest.mark.slow),
+])
 def test_costregnet3d_packed_matches_flax(C, D):
     rng = np.random.default_rng(0)
     x = jnp.asarray(
@@ -103,7 +106,10 @@ def test_costregnet3d_packed_matches_flax(C, D):
                                rtol=1e-4, atol=1e-4)
 
 
-@pytest.mark.parametrize("C,D,last", [(8, 16, True), (16, 8, False)])
+@pytest.mark.parametrize("C,D,last", [
+    pytest.param(8, 16, True, marks=pytest.mark.slow),
+    (16, 8, False),
+])
 def test_costregnet_packed_matches_flax(C, D, last):
     rng = np.random.default_rng(0)
     x = jnp.asarray(

@@ -17,7 +17,10 @@ from mvsformer_tpu.ops.pallas import warp_corr
 from tests.test_warp import random_cameras
 
 
-@pytest.mark.parametrize("shape", [(48, 128, 4, 8), (40, 192, 6, 16)])
+@pytest.mark.parametrize("shape", [
+    (48, 128, 4, 8),
+    pytest.param((40, 192, 6, 16), marks=pytest.mark.slow),
+])
 def test_fused_warp_corr_matches_xla(rng, shape):
     H, W, D, C = shape
     B, G = 1, 8
@@ -52,7 +55,10 @@ def test_fused_warp_corr_matches_xla(rng, shape):
     assert valid.mean() > 0.5
 
 
-@pytest.mark.parametrize("shape", [(48, 128, 4, 8), (40, 192, 6, 16)])
+@pytest.mark.parametrize("shape", [
+    (48, 128, 4, 8),
+    pytest.param((40, 192, 6, 16), marks=pytest.mark.slow),
+])
 def test_fused_warp_corr_v2_matches_xla(rng, shape):
     H, W, D, C = shape
     B, G = 1, 8
@@ -119,7 +125,10 @@ def test_fused_train_warp_grads_match_xla(rng):
                                    atol=1e-3)
 
 
-@pytest.mark.parametrize("shape", [(48, 128, 4, 8), (40, 192, 6, 16)])
+@pytest.mark.parametrize("shape", [
+    (48, 128, 4, 8),
+    pytest.param((40, 192, 6, 16), marks=pytest.mark.slow),
+])
 def test_fused_warp_corr_v3_matches_xla(rng, shape):
     """v3 (per-row y-windows): exact at pixels inside the per-row band."""
     H, W, D, C = shape
@@ -177,7 +186,10 @@ def test_fused_warp_corr_bf16_band(rng):
     assert valid.mean() > 0.5
 
 
-@pytest.mark.parametrize("shape", [(24, 128, 3, 8), (40, 192, 4, 16)])
+@pytest.mark.parametrize("shape", [
+    (24, 128, 3, 8),
+    pytest.param((40, 192, 4, 16), marks=pytest.mark.slow),
+])
 def test_bwd_kernel_matches_xla_vjp(rng, shape):
     """Native backward kernel: dref/dsrc must match the XLA-gather VJP at
     in-band pixels (the kernel is the exact adjoint of the band-formulated
@@ -419,7 +431,11 @@ def test_stagenet_v3_cnn_fusion_masks_clipped(rng):
     assert np.isfinite(np.asarray(out["photometric_confidence"])).all()
 
 
-@pytest.mark.parametrize("variant", [1, 2, 3])
+@pytest.mark.parametrize("variant", [
+    pytest.param(1, marks=pytest.mark.slow),
+    pytest.param(2, marks=pytest.mark.slow),
+    3,
+])
 def test_fused_warp_corr_batch2(rng, variant):
     """Regression: the band DMA must read each batch element's own source
     (a batch-0-only indexing bug corrupted every b>0 sample)."""

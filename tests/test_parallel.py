@@ -50,9 +50,9 @@ def test_view_sharded_step_matches_serial():
     batch = make_full_batch(rng, B=2, V=5, H=64, W=64)
 
     serial_model = build_model(cfg, dtype=jnp.float32)
-    variables = serial_model.init(
-        jax.random.PRNGKey(0), batch["imgs"], batch["proj_matrices"],
-        batch["depth_values"], training=False)
+    variables = jax.jit(lambda k: serial_model.init(
+        k, batch["imgs"], batch["proj_matrices"],
+        batch["depth_values"], training=False))(jax.random.PRNGKey(0))
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 

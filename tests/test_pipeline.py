@@ -37,8 +37,9 @@ def test_save_depth_multichip_matches_serial(tmp_path):
         for i in range(1, 5)
     }
     dummy_dv = jnp.asarray(np.linspace(425, 900, 48, dtype=np.float32)[None])
-    variables = serial.init(jax.random.PRNGKey(0), dummy_imgs, dummy_projs,
-                            dummy_dv, training=False)
+    variables = jax.jit(lambda k: serial.init(
+        k, dummy_imgs, dummy_projs, dummy_dv, training=False)
+    )(jax.random.PRNGKey(0))
     params = variables["params"]
     bs = variables.get("batch_stats", {})
 
@@ -74,8 +75,9 @@ def test_save_depth_and_fuse(tmp_path):
         for i in range(1, 5)
     }
     dummy_dv = jnp.asarray(np.linspace(425, 900, 48, dtype=np.float32)[None])
-    variables = model.init(jax.random.PRNGKey(0), dummy_imgs, dummy_projs,
-                           dummy_dv, training=False)
+    variables = jax.jit(lambda k: model.init(
+        k, dummy_imgs, dummy_projs, dummy_dv, training=False)
+    )(jax.random.PRNGKey(0))
 
     save_depth(model, variables["params"], variables.get("batch_stats", {}),
                ["scan1"], root, outdir, num_view=3, ndepths=48,

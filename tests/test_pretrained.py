@@ -24,7 +24,8 @@ from tests.test_convert import synth_twins_sd, tree_shapes
 @pytest.fixture(scope="module")
 def backbone_variables():
     backbone = alt_gvt_small(dtype=jnp.float32)
-    return backbone.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    return jax.jit(lambda k: backbone.init(
+        k, jnp.zeros((1, 64, 64, 3))))(jax.random.PRNGKey(0))
 
 
 def test_merge_pretrained_backbone_from_disk(tmp_path, rng, backbone_variables):
