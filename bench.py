@@ -350,41 +350,49 @@ def orchestrate(args):
 
     if args.all:
         details = {}
+
+        def sweep(key, label, **kw):
+            # A failed entry records its reason (never a bare null —
+            # "eval_v3_b2": null with no explanation was a round-2 ding).
+            fail_info = {}
+            rec = _run_worker(fail_info=fail_info, **kw)
+            if rec is None:
+                rec = {"error": "worker failed",
+                       **{k: v for k, v in fail_info.items()
+                          if k in ("error_kind", "stderr_tail", "timeout")}}
+            details[key] = rec
+            sys.stderr.write(f"[bench] {label}: {json.dumps(rec)[:400]}\n")
+            return rec
+
         for v in ("xla", "v1", "v2", "v3"):
-            rec = _run_worker(v, args.timeout)
-            details[f"eval_{v}"] = rec
-            sys.stderr.write(f"[bench] eval {v}: {json.dumps(rec)}\n")
-        rec = _run_worker("v3", args.timeout, bf16_band=True)
-        details["eval_v3_bf16"] = rec
-        sys.stderr.write(f"[bench] eval v3+bf16: {json.dumps(rec)}\n")
-        rec = _run_worker("xla", args.timeout, train=True)
-        details["train_xla"] = rec
-        sys.stderr.write(f"[bench] train xla: {json.dumps(rec)}\n")
-        rec = _run_worker("v1", args.timeout, train=True)
-        details["train_fused_kbwd"] = rec
-        sys.stderr.write(f"[bench] train fused+kbwd: {json.dumps(rec)}\n")
-        rec = _run_worker("v3", args.timeout, train=True)
-        details["train_v3_kbwd"] = rec
-        sys.stderr.write(f"[bench] train v3+kbwd: {json.dumps(rec)}\n")
+            sweep(f"eval_{v}", f"eval {v}", variant=v, timeout=args.timeout)
+        sweep("eval_v3_bf16", "eval v3+bf16", variant="v3",
+              timeout=args.timeout, bf16_band=True)
+        sweep("train_xla", "train xla", variant="xla", timeout=args.timeout,
+              train=True)
+        sweep("train_fused_kbwd", "train fused+kbwd", variant="v1",
+              timeout=args.timeout, train=True)
+        sweep("train_v3_kbwd", "train v3+kbwd", variant="v3",
+              timeout=args.timeout, train=True)
         # Batched eval of the best single-map variant: amortizes dispatch and
-        # per-batch host sync; skipped silently if HBM does not fit B=2.
+        # per-batch host sync; a B=2 HBM OOM is recorded with its reason.
         best_v = max(
             (k for k in ("eval_v1", "eval_v2", "eval_v3")
-             if details.get(k) and not details[k].get("degraded")),
+             if details.get(k) and details[k].get("value")
+             and not details[k].get("degraded")),
             key=lambda k: details[k]["value"], default=None)
         if best_v:
             v = best_v.split("_")[1]
-            rec = _run_worker(v, args.timeout, batch=2)
-            details[f"eval_{v}_b2"] = rec
-            sys.stderr.write(f"[bench] eval {v} b2: {json.dumps(rec)}\n")
+            sweep(f"eval_{v}_b2", f"eval {v} b2", variant=v,
+                  timeout=args.timeout, batch=2)
         os.makedirs("docs", exist_ok=True)
         with open("docs/BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)
         # headline = best NON-degraded accelerator eval variant (a CPU-proxy
         # record is measured at an incomparable shape and must never win)
         best = max((r for k, r in details.items()
-                    if k.startswith("eval_") and r and not r.get("degraded")
-                    and r.get("platform") != "cpu"),
+                    if k.startswith("eval_") and r and r.get("value")
+                    and not r.get("degraded") and r.get("platform") != "cpu"),
                    key=lambda r: r["value"], default=None)
         print(json.dumps(best if best else attempt_chain()))
         return
