@@ -16,9 +16,9 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-# Debug override (read once at import): "matmul" (default, measured faster —
-# one big GEMM) vs the shift+FMA "phase" form for the exact-2x upsample.
-_RESIZE2X_MATMUL = os.environ.get("MVSTPU_RESIZE2X", "matmul") == "matmul"
+# Debug override (read once at import): "auto" (default, per-axis choice —
+# see _linear_1d), "matmul" (one big GEMM), or "phase" (shift+FMA).
+_RESIZE2X_MODE = os.environ.get("MVSTPU_RESIZE2X", "auto")
 
 
 def _shift(x: Array, delta: int, axis: int, edge: bool) -> Array:
@@ -105,9 +105,20 @@ def _linear_1d(x: Array, out_size: int, axis: int, align_corners: bool) -> Array
     if in_size == out_size:
         return x
     if out_size == 2 * in_size and in_size > 1:
-        if _RESIZE2X_MATMUL:
+        # Axis-dependent 2x strategy (v5e-measured at the finest FPN level,
+        # [5,576,768,64] bf16): on the sublane-tiled axis (ndim-2, W for
+        # NHWC) the phase shift+FMA wins 10x (0.04 vs 0.38 ms — its
+        # stack+reshape interleave is free there), while on untiled axes
+        # the dense matmul wins ~6x (0.03 vs 0.19 ms — the phase form's
+        # interleave relayouts dominate). MVSTPU_RESIZE2X=phase|matmul
+        # forces one form for A/B runs.
+        if _RESIZE2X_MODE == "matmul":
             return _linear_matmul(x, out_size, axis, align_corners)
-        return _linear_2x(x, axis, align_corners)
+        if _RESIZE2X_MODE == "phase":
+            return _linear_2x(x, axis, align_corners)
+        if axis == x.ndim - 2:
+            return _linear_2x(x, axis, align_corners)
+        return _linear_matmul(x, out_size, axis, align_corners)
     dtype = x.dtype
     pos = jnp.arange(out_size, dtype=jnp.float32)
     if align_corners:
