@@ -51,7 +51,9 @@ class ModelConfig:
     multi_scale: bool = False
     norm_type: str = "BN"  # BN | GN — GN avoids cross-replica stat sync on TPU
     use_fused_warp: bool = True  # Pallas warp+corr kernel on the eval path
-    fused_band_rows: int = 12  # y-band height K (>= ROWS+1+epipolar tilt)
+    fused_band_rows: int = 12  # y-band height K (>= warp_rows+1+epipolar tilt)
+    warp_rows: int = 8  # kernel output rows per grid step (sublane block;
+    # ops/pallas/warp_corr.py ROWS). Env: MVSTPU_WARP_ROWS.
     clamp_eth3d: bool = False  # ETH3D clamped inverse-depth schedulers
     remat_backbone: bool = False  # jax.checkpoint the ViT (train-memory valve)
     eval_view_chunk: int = 0  # >0: eval backbone processes views in chunks of
@@ -70,9 +72,11 @@ class ModelConfig:
     # accuracy on real DTU before enabling in production
     # --- kernel-routing knobs (formerly MVSTPU_* env vars) ---------------
     # Config is the source of truth and is snapshotted with the run; a SET
-    # MVSTPU_* env var still overrides the matching field (read once at
-    # import) so `MVSTPU_SMALLCONV=<csv> python bench.py` sweeps keep
-    # working without config edits.
+    # MVSTPU_* env var still overrides the matching field, so
+    # `MVSTPU_SMALLCONV=<csv> python bench.py` sweeps keep working without
+    # config edits. Override timing differs by knob: FUSED_VIS/FUSED_FPN are
+    # read once at import; SMALLCONV/SMALLCONV_S1CAP/WARP_ROWS are re-read at
+    # every build_model call (a mid-process env change takes effect there).
     fused_vis: bool = True  # fused VisibilityNet Pallas kernel (BN-norm
     # eval on TPU only; ops/pallas/vis_net.py). Env: MVSTPU_FUSED_VIS.
     fused_fpn: bool = False  # EXPERIMENTAL fused FPN top-down level kernel

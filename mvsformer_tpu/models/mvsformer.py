@@ -225,8 +225,10 @@ def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None,
     axis_names that leave "depth" automatic).
     """
     from mvsformer_tpu.models.blocks import configure_smallconv
+    from mvsformer_tpu.ops.pallas import warp_corr
 
     configure_smallconv(cfg.smallconv_modes, cfg.smallconv_s1cap)
+    warp_corr.configure(cfg.warp_rows)
     if cfg.model_type == "twin":
         return TwinMVSNet(cfg, dtype=dtype, axis_name=axis_name,
                           view_axis=view_axis, depth_sharding=depth_sharding)

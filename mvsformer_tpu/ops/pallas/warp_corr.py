@@ -42,8 +42,23 @@ from jax.experimental.pallas import tpu as pltpu
 # (~2-3us: scalar loads, window slicing, pipeline bubbles) dominates the
 # per-call time at production shapes, so bigger blocks amortize it; the
 # band row count scales with ROWS in each wrapper to keep coverage.
+# ModelConfig.warp_rows is the source of truth (applied by build_model via
+# configure()); a SET MVSTPU_WARP_ROWS env var wins, matching the other
+# kernel-routing knobs (config.py). Module global (not a function arg)
+# because it shapes every BlockSpec/scratch allocation across fwd+bwd and
+# is read at trace time.
 ROWS = int(os.environ.get("MVSTPU_WARP_ROWS", "8"))
 XT = 128  # output columns per grid step (lane tile)
+
+
+def configure(rows=None):
+    """Apply ModelConfig.warp_rows; env MVSTPU_WARP_ROWS overrides."""
+    global ROWS
+    env = os.environ.get("MVSTPU_WARP_ROWS")
+    if env is not None:
+        ROWS = int(env)
+    elif rows is not None:
+        ROWS = int(rows)
 
 
 def _kernel(

@@ -48,7 +48,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mvsformer_tpu.ops.pallas.warp_corr import ROWS, XT, _pad_to
+from mvsformer_tpu.ops.pallas import warp_corr as _wc
+from mvsformer_tpu.ops.pallas.warp_corr import XT, _pad_to
 
 
 def _kernel_bwd(
@@ -136,8 +137,8 @@ def _kernel_bwd(
             jnp.float32)
 
         dband_buf[...] = jnp.zeros_like(dband_buf)
-        for r in range(ROWS):
-            off = y_off_ref[(flat_row * NXT + xt) * ROWS + r]
+        for r in range(_wc.ROWS):
+            off = y_off_ref[(flat_row * NXT + xt) * _wc.ROWS + r]
             band_r = band_ref[slot, dp, pl.ds(off, KR), :,
                               pl.ds(x0, JT)].reshape(KR * C, JT)
             px_r = px_ref[0, dp, 0, r].reshape(1, XT)
@@ -220,7 +221,7 @@ def plane_sweep_group_corr_bwd(
 
     B, H, W, C = ref_fea.shape
     D = depth_values.shape[1]
-    K, JT = band_rows + max(0, ROWS - 8), band_cols
+    K, JT = band_rows + max(0, _wc.ROWS - 8), band_cols
     KR = row_band if row_band is not None else K
     assert KR <= K
     G = groups
@@ -231,9 +232,9 @@ def plane_sweep_group_corr_bwd(
     px = jax.lax.stop_gradient(px).reshape(B, D, H, W)
     py = jax.lax.stop_gradient(py).reshape(B, D, H, W)
 
-    Hp = -(-H // ROWS) * ROWS
+    Hp = -(-H // _wc.ROWS) * _wc.ROWS
     Wp = -(-W // XT) * XT
-    HB = Hp // ROWS
+    HB = Hp // _wc.ROWS
     NXT = Wp // XT
 
     def edge_pad(x, target, axis):
@@ -260,22 +261,22 @@ def plane_sweep_group_corr_bwd(
     dcorr_t = _pad_to(_pad_to(dcorr_t, Hp, 2), Wp, 4)
 
     # Same window origins as the forward kernels.
-    py_blk = pyp.reshape(B, D, HB, ROWS, Wp)
+    py_blk = pyp.reshape(B, D, HB, _wc.ROWS, Wp)
     y_start = jnp.clip(
         jnp.floor(py_blk.min(axis=(3, 4))).astype(jnp.int32), 0, H)
-    px_blk = pxp.reshape(B, D, HB, ROWS, NXT, XT)
+    px_blk = pxp.reshape(B, D, HB, _wc.ROWS, NXT, XT)
     x_min = jnp.floor(px_blk.min(axis=(3, 5))).astype(jnp.int32)
     x_start = jnp.clip((x_min // 128) * 128, 0, max_x0)
 
     # Per-(row, x-tile) y-window offsets inside the band (v3 semantics);
     # all-zero in full-band mode so the kernel's pl.ds(off, KR) spans K.
     if KR < K:
-        py_rt = pyp.reshape(B, D, HB, ROWS, NXT, XT).transpose(
+        py_rt = pyp.reshape(B, D, HB, _wc.ROWS, NXT, XT).transpose(
             0, 1, 2, 4, 3, 5)
         y_row_min = jnp.floor(py_rt.min(axis=-1)).astype(jnp.int32)
         y_off = jnp.clip(y_row_min - y_start[:, :, :, None, None], 0, K - KR)
     else:
-        y_off = jnp.zeros((B, D, HB, NXT, ROWS), jnp.int32)
+        y_off = jnp.zeros((B, D, HB, NXT, _wc.ROWS), jnp.int32)
 
     band_bytes = K * C * WSRC * 4
     DP = 1
@@ -287,10 +288,10 @@ def plane_sweep_group_corr_bwd(
     kernel = functools.partial(_kernel_bwd, K=K, KR=KR, JT=JT, C=C, G=G,
                                HB=HB, NXT=NXT, DP=DP)
 
-    px5 = pxp.reshape(B, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
-    px5 = px5.reshape(B, D, HB * NXT, ROWS, XT)
-    py5 = pyp.reshape(B, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
-    py5 = py5.reshape(B, D, HB * NXT, ROWS, XT)
+    px5 = pxp.reshape(B, D, HB, _wc.ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
+    px5 = px5.reshape(B, D, HB * NXT, _wc.ROWS, XT)
+    py5 = pyp.reshape(B, D, HB, _wc.ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
+    py5 = py5.reshape(B, D, HB * NXT, _wc.ROWS, XT)
 
     dsrc_zero = jnp.zeros((B, H + K, C, WSRC), jnp.float32)
 
@@ -300,23 +301,23 @@ def plane_sweep_group_corr_bwd(
             num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, DP, 1, ROWS, XT),
+                pl.BlockSpec((1, DP, 1, _wc.ROWS, XT),
                              lambda b, h, d, x, *_: (b, d, h * NXT + x, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, DP, 1, ROWS, XT),
+                pl.BlockSpec((1, DP, 1, _wc.ROWS, XT),
                              lambda b, h, d, x, *_: (b, d, h * NXT + x, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, ROWS, C, XT),
+                pl.BlockSpec((1, _wc.ROWS, C, XT),
                              lambda b, h, d, x, *_: (b, h, 0, x),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, DP, ROWS, G, XT),
+                pl.BlockSpec((1, DP, _wc.ROWS, G, XT),
                              lambda b, h, d, x, *_: (b, d, h, 0, x),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=(
-                pl.BlockSpec((1, ROWS, C, Wp),
+                pl.BlockSpec((1, _wc.ROWS, C, Wp),
                              lambda b, h, d, x, *_: (b, h, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),

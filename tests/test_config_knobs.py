@@ -27,9 +27,27 @@ def _tiny_cfg(**kw):
 @pytest.mark.parametrize("modes,s1cap", [("s1,deconv", 144), ("", 1)])
 def test_smallconv_routing_applied_at_build(modes, s1cap):
     cfg = _tiny_cfg(smallconv_modes=modes, smallconv_s1cap=s1cap)
-    build_model(cfg)
-    assert blocks._SMALLCONV_MODES == frozenset(modes.split(","))
-    assert blocks._S1_CAP == s1cap
+    try:
+        build_model(cfg)
+        assert blocks._SMALLCONV_MODES == frozenset(modes.split(","))
+        assert blocks._S1_CAP == s1cap
+    finally:
+        blocks.configure_smallconv()  # restore defaults for later tests
+
+
+def test_warp_rows_applied_at_build():
+    """ModelConfig.warp_rows reaches the kernel module global (VERDICT r3
+    #8: the last env knob outside config)."""
+    from mvsformer_tpu.ops.pallas import warp_corr
+
+    prev = warp_corr.ROWS
+    try:
+        build_model(_tiny_cfg(warp_rows=16))
+        assert warp_corr.ROWS == 16
+    finally:
+        warp_corr.ROWS = prev
+        build_model(_tiny_cfg())
+        assert warp_corr.ROWS == 8
 
 
 def test_smallconv_on_off_numerics_identical():
