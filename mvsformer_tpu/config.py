@@ -70,6 +70,11 @@ class ModelConfig:
     fused_bf16_band: bool = False  # bf16 source band + tent weights in the
     # fused kernel (native-MXU bf16 path, fp32 accumulation); validate
     # accuracy on real DTU before enabling in production
+    corr_bf16: bool = False  # store per-view correlation volumes in bf16 on
+    # the fused eval path (f32 in-kernel accumulation, one rounding at the
+    # store; view-weighted sum still accumulates f32). Halves the largest
+    # eval buffers' HBM traffic; the 3D cost-reg consumes the volume in bf16
+    # either way. Env: MVSTPU_CORR_BF16.
     # --- kernel-routing knobs (formerly MVSTPU_* env vars) ---------------
     # Config is the source of truth and is snapshotted with the run; a SET
     # MVSTPU_* env var still overrides the matching field, so

@@ -115,6 +115,7 @@ class TwinMVSNet(nn.Module):
                 fused_native_bwd=cfg.fused_native_bwd,
                 fused_bf16_band=cfg.fused_bf16_band,
                 fused_vis=cfg.fused_vis,
+                corr_bf16=cfg.corr_bf16,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",
             )
@@ -224,11 +225,16 @@ def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None,
     depth-slab GSPMD sharding of the cost volumes (pair with shard_map
     axis_names that leave "depth" automatic).
     """
+    import os
+
     from mvsformer_tpu.models.blocks import configure_smallconv
     from mvsformer_tpu.ops.pallas import warp_corr
 
     configure_smallconv(cfg.smallconv_modes, cfg.smallconv_s1cap)
     warp_corr.configure(cfg.warp_rows)
+    env = os.environ.get("MVSTPU_CORR_BF16")
+    if env is not None:  # env override, matching the other routing knobs
+        cfg.corr_bf16 = env == "1"
     if cfg.model_type == "twin":
         return TwinMVSNet(cfg, dtype=dtype, axis_name=axis_name,
                           view_axis=view_axis, depth_sharding=depth_sharding)

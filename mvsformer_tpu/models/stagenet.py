@@ -108,6 +108,10 @@ class StageNet(nn.Module):
     fused_native_bwd: bool = True  # Pallas bwd kernel vs XLA-recompute VJP
     fused_bf16_band: bool = False  # bf16 band + tent weights (fp32 accum)
     fused_vis: bool = True  # fused VisibilityNet kernel (ModelConfig.fused_vis)
+    corr_bf16: bool = False  # store per-view correlation volumes in bf16 on
+    # the fused eval path (f32 in-kernel accumulation, one rounding at the
+    # store; the weighted view sum still accumulates in f32). Halves the HBM
+    # footprint/traffic of the largest eval buffers. ModelConfig.corr_bf16.
     # Optional NamedSharding for depth-hypothesis-slab sharding of the cost
     # volume over the mesh's "depth" axis. The constraint makes GSPMD shard
     # the 3D cost-regularization U-Net along D (halo exchanges for the 3x3x3
@@ -134,9 +138,14 @@ class StageNet(nn.Module):
         ref_proj_full = geometry.compose_projection(ref_proj.astype(jnp.float32))
         ref32 = ref_feat.astype(jnp.float32)
 
-        volume_sum = jnp.zeros((B, depth_values.shape[1], H, W, G), jnp.float32)
-        vis_sum = jnp.zeros((B, depth_values.shape[1], H, W), jnp.float32) \
-            if self.fusion_type != "cnn" else jnp.zeros((B, 1, H, W), jnp.float32)
+        # Per-view correlation volumes and visibility weights are collected
+        # and reduced in ONE weighted-sum pass after the loop (each view's
+        # weight needs that view's full volume first — entropy -> vis CNN —
+        # so per-view running sums would re-read and re-write the f32
+        # accumulator once per view; the post-loop sum reads every volume
+        # once and writes the accumulator once). Summation order matches the
+        # reference's sequential accumulation (mvsformer_model.py:101-105).
+        corrs, ws = [], []
         sim_sum = jnp.zeros((B, depth_values.shape[1], H, W), jnp.float32)
 
         if self.fusion_type == "cnn":
@@ -171,12 +180,15 @@ class StageNet(nn.Module):
                 # instead of silently carrying corrupted correlation values.
                 need_invalid = (self.fusion_type == "epipoleV2"
                                 or self.fused_variant == 3)
+                kw = {}
+                if self.fused_variant == 3 and self.corr_bf16:
+                    kw["out_dtype"] = jnp.bfloat16
                 corr, invalid = kernel_fn(
                     ref32, src_feats[:, v].astype(jnp.float32), src_proj_full,
                     ref_proj_full, dv32, groups=G,
                     band_rows=self.fused_band_rows,
                     want_invalid=need_invalid,
-                    bf16_band=self.fused_bf16_band)
+                    bf16_band=self.fused_bf16_band, **kw)
                 if (self.fused_variant == 3
                         and self.fusion_type != "epipoleV2"
                         and invalid is not None):
@@ -209,18 +221,21 @@ class StageNet(nn.Module):
                 ent = corr_ops.entropy_over_depth(corr)  # [B,H,W,1]
                 w = vis_net(ent.astype(self.dtype), training)  # [B,H,W,1] fp32
                 w = w[..., 0][:, None]  # [B,1,H,W] — broadcasts over D and G
-                volume_sum = volume_sum + corr * w[..., None]
-                vis_sum = vis_sum + w
             elif self.fusion_type == "epipole":
                 w = corr_ops.epipole_weight(corr, self.attn_temp, C)  # [B,D,H,W]
-                volume_sum = volume_sum + corr * w[..., None]
-                vis_sum = vis_sum + w
             elif self.fusion_type == "epipoleV2":
                 w = corr_ops.epipole_v2_weight(corr, attn_temp, invalid, G)
-                volume_sum = volume_sum + corr * w[..., None]
-                vis_sum = vis_sum + w
             else:
                 raise NotImplementedError(self.fusion_type)
+            corrs.append(corr)
+            ws.append(w)
+
+        volume_sum = corrs[0].astype(jnp.float32) * ws[0][..., None]
+        vis_sum = ws[0]
+        for v in range(1, Vs):
+            volume_sum = volume_sum + corrs[v].astype(jnp.float32) * ws[v][..., None]
+            vis_sum = vis_sum + ws[v]
+        del corrs, ws
 
         if self.view_axis is not None:
             volume_sum = jax.lax.psum(volume_sum, self.view_axis)

@@ -45,6 +45,11 @@ HALO = 3  # three stacked 3x3 convs
 # env var mid-process would otherwise silently reuse the first-traced variant).
 _DOT3_DEFAULT = os.environ.get("MVSTPU_VIS_DOT3", "1") == "1"
 
+from mvsformer_tpu.ops.pallas.warp_corr import (  # noqa: E402
+    _barrier, _barrier_small,
+)
+# (shared MVSTPU_KERNEL_BARRIER experiment switch — see warp_corr.py)
+
 
 def _shift_w(x, dx, w):
     """Static lane-shift: x [..., W+2] -> x[..., dx:dx+w]."""
@@ -249,4 +254,5 @@ def fused_visibility(ent, k0, k1, k2, k3, b3, bn_stats,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(ent, k0r, k1r, k2r, k3r, m0, a0, m1, a1, m2, a2)
+    )(*_barrier(ent),
+      *_barrier_small(k0r, k1r, k2r, k3r, m0, a0, m1, a1, m2, a2))

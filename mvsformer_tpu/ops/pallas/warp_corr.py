@@ -61,6 +61,30 @@ def configure(rows=None):
         ROWS = int(rows)
 
 
+# DMA-wall experiment (VERDICT r3 #3): in-model Pallas kernels run far below
+# their isolated bandwidth, and jit-CONSTANT operands reproduce the same
+# degradation in isolation. MVSTPU_KERNEL_BARRIER=1 passes EVERY kernel
+# operand through jax.lax.optimization_barrier immediately before the
+# pallas_call (measured: pathological — the XLA compile never finished inside
+# a 35-minute budget); =2 barriers only the SMALL operands (scalar-prefetch
+# index arrays, folded-BN affines) — the jit-constant-foldable kind the
+# round-3 isolation experiment implicated — leaving the big tensors on XLA's
+# normal schedule.
+_KERNEL_BARRIER = os.environ.get("MVSTPU_KERNEL_BARRIER", "0")
+
+
+def _barrier(*ops):
+    if _KERNEL_BARRIER == "1":
+        return jax.lax.optimization_barrier(ops)
+    return ops
+
+
+def _barrier_small(*ops):
+    if _KERNEL_BARRIER in ("1", "2"):
+        return jax.lax.optimization_barrier(ops)
+    return ops
+
+
 def _kernel(
     y_start_ref,  # scalar-prefetch [B*D*HB] i32
     x_start_ref,  # scalar-prefetch [B*D*HB*NXT] i32
@@ -661,12 +685,12 @@ def _kernel_v3(
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [G, XT]
-            out_ref[0, dp, r] = corr
+            out_ref[0, dp, r] = corr.astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("groups", "band_rows", "band_cols",
                                              "row_band", "want_invalid",
-                                             "bf16_band"))
+                                             "bf16_band", "out_dtype"))
 def plane_sweep_group_corr_v3(
     ref_fea,  # [B, H, W, C]
     src_fea,  # [B, H, W, C]
@@ -679,6 +703,7 @@ def plane_sweep_group_corr_v3(
     row_band: int = 4,
     want_invalid: bool = True,
     bf16_band: bool = False,
+    out_dtype=jnp.float32,
 ):
     """Per-row-windowed variant of plane_sweep_group_corr_v2 (same contract).
 
@@ -794,13 +819,17 @@ def plane_sweep_group_corr_v3(
                 pltpu.SemaphoreType.DMA((2, DP)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, D, Hp, G, Wp), jnp.float32),
+        # bf16 output (ModelConfig.corr_bf16): the correlation accumulates in
+        # f32 in-kernel and rounds once at the store; downstream the cost-reg
+        # U-Net consumes the volume in bf16 anyway, and halving the largest
+        # eval buffers' HBM traffic is the point.
+        out_shape=jax.ShapeDtypeStruct((B, D, Hp, G, Wp), out_dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",) * 4,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-    )(y_start.reshape(-1), x_start.reshape(-1), y_off_flat,
-      px5, py5, ref_hcw, src_hcw)
+    )(*_barrier_small(y_start.reshape(-1), x_start.reshape(-1), y_off_flat),
+      *_barrier(px5, py5, ref_hcw, src_hcw))
 
     out = jnp.transpose(out[:, :, :H, :, :W], (0, 1, 2, 4, 3))
     return out, invalid

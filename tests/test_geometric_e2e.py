@@ -50,9 +50,8 @@ DEPTH = 77.0  # true plane depth; off-grid between hypotheses 75 and 80
 DMIN, DITV, ND = 40.0, 5.0, 16  # hypotheses 40..115
 
 
-def _make_plane_scan(root):
-    """Render NV views of a textured plane and write the eval-layout scan
-    plus Depths_raw GT so save_depth computes the depth-metric protocol."""
+def _render_views():
+    """Render NV views of the textured plane. Returns (imgs, txs, K_img)."""
     import cv2
 
     rng = np.random.default_rng(7)
@@ -62,27 +61,13 @@ def _make_plane_scan(root):
     tex = (tex - tex.mean()) / (tex.std() + 1e-6)
     tex = np.clip(tex * 0.18 + 0.5, 0.0, 1.0)
 
-    sdir = os.path.join(root, "scan1")
-    os.makedirs(os.path.join(sdir, "images"), exist_ok=True)
-    os.makedirs(os.path.join(sdir, "cams"), exist_ok=True)
-    gt_dir = os.path.join(os.path.dirname(root.rstrip("/")), "Depths_raw", "scan1")
-    os.makedirs(gt_dir, exist_ok=True)
-
     K_img = np.array([[FX, 0, IW / 2], [0, FX, IH / 2], [0, 0, 1]], np.float32)
     # Baseline sets the depth sensitivity of disparity: d(disp)/d(interval)
     # = fx*tx*ditv/d^2 ~ 0.34 px/interval for the nearest pair at tx=4 —
     # enough parallax for sub-interval depth from subpixel matching.
     txs = [v * 4.0 for v in range(NV)]
 
-    with open(os.path.join(sdir, "pair.txt"), "w") as f:
-        f.write(f"{NV}\n")
-        for ref in range(NV):
-            srcs = sorted((v for v in range(NV) if v != ref),
-                          key=lambda v: abs(txs[v] - txs[ref]))
-            f.write(f"{ref}\n")
-            f.write(f"{len(srcs)} " + " ".join(
-                f"{s} {100 - i}" for i, s in enumerate(srcs)) + "\n")
-
+    imgs = []
     for v in range(NV):
         # View v sees the plane point that the tx=0 camera sees at
         # x + fx*tx_v/DEPTH (same convention as test_convergence, whose
@@ -91,11 +76,40 @@ def _make_plane_scan(root):
         xs = np.arange(IW, dtype=np.float32) + pad + disp
         ys = np.arange(IH, dtype=np.float32) + pad
         px, py = np.meshgrid(xs, ys)
-        img = np.asarray(geometry.bilinear_sample(
+        imgs.append(np.asarray(geometry.bilinear_sample(
             jnp.asarray(tex[None]), jnp.asarray(px.reshape(1, -1)),
-            jnp.asarray(py.reshape(1, -1)))).reshape(IH, IW, 3)
+            jnp.asarray(py.reshape(1, -1)))).reshape(IH, IW, 3))
+    return imgs, txs, K_img
+
+
+def _write_pair_file(path, txs):
+    with open(path, "w") as f:
+        f.write(f"{NV}\n")
+        for ref in range(NV):
+            srcs = sorted((v for v in range(NV) if v != ref),
+                          key=lambda v: abs(txs[v] - txs[ref]))
+            f.write(f"{ref}\n")
+            f.write(f"{len(srcs)} " + " ".join(
+                f"{s} {100 - i}" for i, s in enumerate(srcs)) + "\n")
+
+
+def _make_plane_scan(root):
+    """Render NV views of a textured plane and write the eval-layout scan
+    plus Depths_raw GT so save_depth computes the depth-metric protocol."""
+    import cv2
+
+    imgs, txs, K_img = _render_views()
+    sdir = os.path.join(root, "scan1")
+    os.makedirs(os.path.join(sdir, "images"), exist_ok=True)
+    os.makedirs(os.path.join(sdir, "cams"), exist_ok=True)
+    gt_dir = os.path.join(os.path.dirname(root.rstrip("/")), "Depths_raw", "scan1")
+    os.makedirs(gt_dir, exist_ok=True)
+
+    _write_pair_file(os.path.join(sdir, "pair.txt"), txs)
+
+    for v in range(NV):
         cv2.imwrite(os.path.join(sdir, "images", f"{v:0>8}.jpg"),
-                    cv2.cvtColor((img * 255).astype(np.uint8),
+                    cv2.cvtColor((imgs[v] * 255).astype(np.uint8),
                                  cv2.COLOR_RGB2BGR),
                     [cv2.IMWRITE_JPEG_QUALITY, 100])
 
@@ -109,6 +123,48 @@ def _make_plane_scan(root):
                  np.full((IH, IW), DEPTH, np.float32))
         cv2.imwrite(os.path.join(gt_dir, f"depth_visual_{v:0>4}.png"),
                     np.full((IH, IW), 255, np.uint8))
+    return root
+
+
+def _make_plane_scan_tt(root):
+    """Same analytic plane scene, Tanks&Temples directory layout
+    (ref:general_eval.py:84-90,111-113 + test.py:475-549 dpcd path):
+    full-resolution intrinsics in `<scan>/cams/` (the loader adds the
+    cy+4 edge-pad compensation and divides by 4), a three-field depth
+    line `dmin ditv nd` (the loader re-derives the interval from the
+    range), and a parallel `short_range_cameras/cams_<scan>/` tree for
+    `--use_short_range`."""
+    import cv2
+
+    imgs, txs, K_img = _render_views()
+    sdir = os.path.join(root, "scan1")
+    os.makedirs(os.path.join(sdir, "images"), exist_ok=True)
+    os.makedirs(os.path.join(sdir, "cams"), exist_ok=True)
+    short_dir = os.path.join(root, "short_range_cameras", "cams_scan1")
+    os.makedirs(short_dir, exist_ok=True)
+
+    _write_pair_file(os.path.join(sdir, "pair.txt"), txs)
+
+    for v in range(NV):
+        cv2.imwrite(os.path.join(sdir, "images", f"{v:0>8}.jpg"),
+                    cv2.cvtColor((imgs[v] * 255).astype(np.uint8),
+                                 cv2.COLOR_RGB2BGR),
+                    [cv2.IMWRITE_JPEG_QUALITY, 100])
+
+        ext = np.eye(4, dtype=np.float32)
+        ext[0, 3] = txs[v]
+        # tt cam files store FULL-res K of the UNPADDED image; the loader's
+        # `intr[1,2] += 4` shifts the principal point for the (4,4) H edge
+        # pad it applies to the image. Long-range cams: deliberately wrong
+        # depth range (shifted far past the plane) so the test FAILS unless
+        # use_short_range actually routes to the short-range tree.
+        write_cam_file(
+            os.path.join(sdir, "cams", f"{v:0>8}_cam.txt"),
+            CameraParams(ext, K_img, DMIN + 60.0, DITV,
+                         num_depth=float(ND)))
+        write_cam_file(
+            os.path.join(short_dir, f"{v:0>8}_cam.txt"),
+            CameraParams(ext, K_img, DMIN, DITV, num_depth=float(ND)))
     return root
 
 
@@ -223,6 +279,117 @@ def test_pipeline_recovers_analytic_surface(tmp_path):
 
     # Point-cloud accuracy vs the analytic surface: every camera is a pure
     # x-translation, so world z == plane depth. Assert in interval units.
+    pts, _ = read_ply(ply_path)
+    zerr = np.abs(pts[:, 2] - DEPTH)
+    assert float(np.median(zerr)) < 0.5 * DITV, (
+        f"median point error {np.median(zerr):.2f} >= 0.5*interval")
+    assert float(zerr.mean()) < DITV, (
+        f"mean point error {zerr.mean():.2f} >= interval {DITV}")
+
+
+@pytest.mark.slow
+def test_tt_dpcd_pipeline_recovers_analytic_surface(tmp_path):
+    """T&T-layout variant of the gate (VERDICT r3 #6): same analytic plane,
+    Tanks&Temples directory layout + edge-pad/cy+4 convention + dict
+    interval_scale + --use_short_range cam routing + dpcd (dynamic)
+    fusion. Drives the one CLI path the DTU gate doesn't
+    (ref:test.py:475-549, general_eval.py:84-90,111-113,168-169)."""
+    root = _make_plane_scan_tt(str(tmp_path / "tteval"))
+    outdir = str(tmp_path / "out")
+
+    cfg = tiny_cfg(ndepths=[8, 4, 4, 2], norm_type="GN", depth_type="re")
+    cfg.vit_args.drop_path_rate = 0.0
+    model = build_model(cfg, dtype=jnp.float32)
+
+    # dict interval_scale exercises the per-scan T&T schedule
+    # (ref:test.py dict Intervals); long-range cams have a deliberately
+    # wrong depth range, so recovering the plane proves use_short_range
+    # routed to short_range_cameras/cams_scan1.
+    iscale = {"scan1": 1.0}
+    ds = MVSEvalDataset(root, ["scan1"], nviews=3, ndepths=ND,
+                        interval_scale=iscale, max_h=EH, max_w=EW,
+                        dataset="tt", use_short_range=True)
+    imgs, projs, dv, gt, mask = _collate_train_batch(ds)
+    assert abs(float(dv[0, 0]) - DMIN) < 1e-4, (
+        "short-range cams not routed: depth range starts at "
+        f"{float(dv[0, 0])}, expected {DMIN}")
+    # The (4,4) H edge pad replicates texture rows whose geometry is NOT the
+    # plane; exclude them (and resize bleed) from the training GT.
+    pb = 4
+    mask = {k: v.at[:, :pb].set(0.0).at[:, -pb:].set(0.0)
+            for k, v in mask.items()}
+
+    variables = jax.jit(
+        lambda k: model.init(k, imgs, projs, dv, training=False)
+    )(jax.random.PRNGKey(0))
+    params = variables["params"]
+    tx = optax.adam(6e-4)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            out = model.apply({"params": p, "batch_stats": {}},
+                              imgs, projs, dv, training=True)
+            loss, _ = losses.total_loss(out, gt, mask, dv[:, 1] - dv[:, 0],
+                                        depth_type="re")
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    @jax.jit
+    def eval_err(params):
+        out = model.apply({"params": params, "batch_stats": {}},
+                          imgs, projs, dv, training=False,
+                          tmp=[5.0, 5.0, 5.0, 1.0])
+        err = jnp.abs(out["refined_depth"] - DEPTH)
+        return (err * mask["stage4"]).sum() / mask["stage4"].sum()
+
+    best_err, best_params = float(eval_err(params)), params
+    hist = [best_err]
+    for i in range(120):
+        params, opt_state, loss = step(params, opt_state)
+        if (i + 1) % 8 == 0:
+            e = float(eval_err(params))
+            hist.append(round(e, 2))
+            if e < best_err:
+                best_err, best_params = e, params
+    print(f"tt eval-err trajectory: {hist}")
+    assert np.isfinite(best_err)
+    assert best_err < 0.5 * DITV, (
+        f"overfit never reached sub-interval depth: err {best_err:.2f}; "
+        f"trajectory {hist}")
+
+    # ---- REAL pipeline phase 1: save_depth, tt mode + short-range ----
+    metrics = save_depth(model, best_params, {}, ["scan1"], root, outdir,
+                         num_view=3, ndepths=ND, interval_scale=iscale,
+                         max_h=EH, max_w=EW, dataset="tt",
+                         use_short_range=True, logger=lambda *a: None)
+    assert metrics is None, "tt has no Depths_raw GT => no protocol metrics"
+    for v in range(NV):
+        for sub, suf in (("depth_est", ".pfm"), ("confidence", ".npy"),
+                         ("cams", "_cam.txt"), ("images", ".jpg")):
+            assert os.path.exists(
+                os.path.join(outdir, "scan1", sub, f"{v:0>8}{suf}"))
+
+    # ---- REAL pipeline phase 2: dpcd (dynamic) fusion -> PLY ----
+    # dist/rel bases rescaled for this scene: the production defaults
+    # (4.0, 1300.0) are calibrated for T&T's ~100-500-unit depth at 1080p,
+    # where k/1300 relative ~ sub-interval. Here one interval IS 6.5% of
+    # depth (5/77), so k/150 relative (~1.3-4% tolerance) and k/2 px keep
+    # the same "sub-interval agreement" meaning at this scale. The exact
+    # default-constant semantics are pinned by tests/test_fusion.py.
+    ply_path = str(tmp_path / "fused_tt.ply")
+    n_points = fuse_scan(os.path.join(root, "scan1"),
+                         os.path.join(outdir, "scan1"), ply_path,
+                         method="dpcd", prob_threshold=(0.3,),
+                         dist_base=2.0, rel_diff_base=150.0,
+                         n_src_views=4, logger=lambda *a: None)
+    assert n_points > 0.2 * NV * EH * EW, (
+        f"completeness: only {n_points} fused points")
+
     pts, _ = read_ply(ply_path)
     zerr = np.abs(pts[:, 2] - DEPTH)
     assert float(np.median(zerr)) < 0.5 * DITV, (
