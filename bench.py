@@ -725,6 +725,8 @@ def orchestrate(args):
             sweep(f"eval_{v}", f"eval {v}", variant=v, timeout=args.timeout)
         sweep("eval_v3_bf16", "eval v3+bf16", variant="v3",
               timeout=args.timeout, bf16_band=True)
+        sweep("eval_v3_corrbf16", "eval v3+corr_bf16", variant="v3",
+              timeout=args.timeout, corr_bf16=True)
         sweep("train_xla", "train xla", variant="xla", timeout=args.timeout,
               train=True)
         sweep("train_fused_kbwd", "train fused+kbwd", variant="v1",
@@ -753,8 +755,20 @@ def orchestrate(args):
             key=lambda k: details[k]["value"], default=None)
         if best_v:
             v = best_v.split("_")[1]
-            sweep(f"eval_{v}_b2", f"eval {v} b2", variant=v,
-                  timeout=args.timeout, batch=2)
+            rec = sweep(f"eval_{v}_b2", f"eval {v} b2", variant=v,
+                        timeout=args.timeout, batch=2)
+            if rec and "error" in rec and _is_oom(rec.get("stderr_tail", "")):
+                # HBM valves, cheapest first (VERDICT r3 #5: attack the OOM,
+                # don't just record it): bf16 correlation volumes halve the
+                # largest buffers; view-chunked backbone bounds the feature
+                # working set.
+                rec = sweep(f"eval_{v}_b2", f"eval {v} b2 +corr_bf16",
+                            variant=v, timeout=args.timeout, batch=2,
+                            corr_bf16=True)
+                if rec and "error" in rec and _is_oom(rec.get("stderr_tail", "")):
+                    sweep(f"eval_{v}_b2", f"eval {v} b2 +corr_bf16+chunk2",
+                          variant=v, timeout=args.timeout, batch=2,
+                          corr_bf16=True, view_chunk=2)
         os.makedirs("docs", exist_ok=True)
         with open("docs/BENCH_DETAILS.json", "w") as f:
             json.dump(details, f, indent=2)
@@ -788,7 +802,7 @@ def main():
     parser.add_argument("--no_fused", action="store_true",
                         help="disable the Pallas fused warp kernel")
     parser.add_argument("--variant", default="v3",
-                        choices=["xla", "v1", "v2", "v3"],
+                        choices=["xla", "v1", "v2", "v3", "v4"],
                         help="warp+correlation implementation to benchmark "
                              "(default matches ModelConfig's production "
                              "use_fused_warp/fused_variant, so the headline "

@@ -60,7 +60,9 @@ class ModelConfig:
     # this many (HBM valve at large eval shapes, the TPU analog of the
     # reference's eval-time python view loop, mvsformer_model.py:379-399)
     fused_variant: int = 3  # 1 = row-batched matmul, 2 = transpose-free,
-    # 3 = transpose-free + per-row y-windows (KR=4 x-matmuls). v5e-measured
+    # 3 = transpose-free + per-row y-windows (KR=4 x-matmuls), 4 = v3 with
+    # in-kernel coordinates + invalid mask (no px/py volume plumbing;
+    # epipoleV2 falls back to v3 — it consumes the mask itself). v5e-measured
     # eval throughput at the DTU shape: v1 1.13 / v2 1.94 / v3 2.10
     # depth-maps/s/chip vs 0.62 XLA (docs/BENCH_DETAILS.json, round 2)
     fused_train_warp: bool = True  # fused kernel fwd in the training warp

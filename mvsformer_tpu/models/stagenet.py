@@ -164,32 +164,55 @@ class StageNet(nn.Module):
 
         dv32 = depth_values.astype(jnp.float32)
         for v in range(Vs):
+            ent_k = None  # in-kernel entropy (v4 cnn path only)
             src_proj_full = geometry.compose_projection(src_projs[:, v].astype(jnp.float32))
             if fused:
                 from mvsformer_tpu.ops.pallas import warp_corr as wc
 
+                # v4 computes coordinates AND the frustum/window mask
+                # in-kernel (zeroed pixels come back pre-masked, invalid is
+                # None); epipoleV2 consumes the mask itself to downweight
+                # clipped pixels, so it stays on v3.
+                variant = self.fused_variant
+                if variant == 4 and self.fusion_type == "epipoleV2":
+                    variant = 3
                 kernel_fn = {
                     2: wc.plane_sweep_group_corr_v2,
                     3: wc.plane_sweep_group_corr_v3,
-                }.get(self.fused_variant, wc.plane_sweep_group_corr)
+                    4: wc.plane_sweep_group_corr_v4,
+                }.get(variant, wc.plane_sweep_group_corr)
                 # epipoleV2 consumes the invalid mask directly (downweights
                 # clipped pixels). v3's per-row KR=4 window is much narrower
                 # than v1/v2's band, so for the other fusion types the mask is
                 # still requested and window-clipped pixels are zeroed — the
                 # same treatment the XLA path gives frustum-OOB pixels —
                 # instead of silently carrying corrupted correlation values.
-                need_invalid = (self.fusion_type == "epipoleV2"
-                                or self.fused_variant == 3)
+                need_invalid = variant != 4 and (
+                    self.fusion_type == "epipoleV2" or variant == 3)
                 kw = {}
-                if self.fused_variant == 3 and self.corr_bf16:
+                if variant in (3, 4) and self.corr_bf16:
                     kw["out_dtype"] = jnp.bfloat16
-                corr, invalid = kernel_fn(
-                    ref32, src_feats[:, v].astype(jnp.float32), src_proj_full,
-                    ref_proj_full, dv32, groups=G,
-                    band_rows=self.fused_band_rows,
-                    want_invalid=need_invalid,
-                    bf16_band=self.fused_bf16_band, **kw)
-                if (self.fused_variant == 3
+                ent_k = None
+                if variant == 4 and self.fusion_type == "cnn":
+                    # v4 streams the visibility entropy out of the kernel
+                    # while the correlation volume is still in registers —
+                    # entropy_over_depth's full volume re-read disappears.
+                    kw["want_entropy"] = True
+                    corr, ent_k, invalid = kernel_fn(
+                        ref32, src_feats[:, v].astype(jnp.float32),
+                        src_proj_full, ref_proj_full, dv32, groups=G,
+                        band_rows=self.fused_band_rows,
+                        want_invalid=need_invalid,
+                        bf16_band=self.fused_bf16_band, **kw)
+                    ent_k = ent_k[..., None]  # [B,H,W,1]
+                else:
+                    corr, invalid = kernel_fn(
+                        ref32, src_feats[:, v].astype(jnp.float32),
+                        src_proj_full, ref_proj_full, dv32, groups=G,
+                        band_rows=self.fused_band_rows,
+                        want_invalid=need_invalid,
+                        bf16_band=self.fused_bf16_band, **kw)
+                if (variant == 3
                         and self.fusion_type != "epipoleV2"
                         and invalid is not None):
                     corr = corr * (1.0 - invalid[..., None])
@@ -218,7 +241,8 @@ class StageNet(nn.Module):
                 sim_sum = sim_sum + corr_ops.cosine_similarity_volume(ref32, warped, G)
 
             if self.fusion_type == "cnn":
-                ent = corr_ops.entropy_over_depth(corr)  # [B,H,W,1]
+                ent = ent_k if ent_k is not None \
+                    else corr_ops.entropy_over_depth(corr)  # [B,H,W,1]
                 w = vis_net(ent.astype(self.dtype), training)  # [B,H,W,1] fp32
                 w = w[..., 0][:, None]  # [B,1,H,W] — broadcasts over D and G
             elif self.fusion_type == "epipole":

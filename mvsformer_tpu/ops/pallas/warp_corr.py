@@ -833,3 +833,365 @@ def plane_sweep_group_corr_v3(
 
     out = jnp.transpose(out[:, :, :H, :, :W], (0, 1, 2, 4, 3))
     return out, invalid
+
+
+# ---------------------------------------------------------------------------
+# v4: v3 windows + IN-KERNEL coordinates and invalid mask.
+#
+# v3 streams two full pre-computed coordinate volumes (px5/py5, f32 D*H*W
+# each per view) into the kernel and leaves the frustum/window invalid mask
+# to the caller (one more full-volume bool materialization plus a
+# corr*(1-invalid) read-modify-write of the biggest tensor in the model).
+# v4 computes px/py/z in-register from the 12 scalars of the relative
+# projection rows (ref pixel coords are known from the grid ids; the only
+# streamed operand is the depth-hypothesis tile, which for the refined
+# stages is an input the model already materialized and for stage-1 [B, D]
+# hypotheses is a single SMEM row) and applies the combined
+# frustum+band-window mask to the correlation before it is stored. Per
+# view-stage this removes: the px/py volume writes, their transposed-copy
+# relayouts into kernel operand order, the invalid volume, and the
+# corr-sized masking pass. The band/window scalar-prefetch starts are still
+# the EXACT v3 per-block/per-row minima — they are reductions over the same
+# coordinate field, which XLA now fuses into the depth read because the
+# coordinates are no longer a kernel operand that must be materialized.
+# Spec: same contract as plane_sweep_group_corr_v3 with want_invalid=False
+# semantics folded in (window-clipped and frustum-OOB pixels come back
+# zeroed); callers that need the mask itself (epipoleV2 downweighting) keep
+# using v3.
+#
+# Grid order is (B, HB, D//DP, NXT) — row-blocks OUTERMOST — so that the
+# optional streaming depth-entropy (want_entropy, for the cnn visibility
+# path) can accumulate an online softmax-entropy over the full depth sweep
+# of a row block in a [3, ROWS, Wp] VMEM scratch and emit the finished
+# entropy map on the last depth step. That removes the caller's
+# entropy_over_depth chain: a full re-read of the correlation volume plus
+# the sim/softmax/entropy HBM passes, per view. Band DMA volume is
+# unchanged by the reorder (one K-row band per (row-block, depth) pair,
+# reused across x-tiles, exactly as before — only the sweep order differs).
+# ---------------------------------------------------------------------------
+
+
+def _kernel_v4(
+    y_start_ref,  # scalar-prefetch [B*D*HB] i32 (band starts)
+    x_start_ref,  # scalar-prefetch [B*D*HB*NXT] i32
+    y_off_ref,  # scalar-prefetch [B*D*HB*NXT*ROWS] i32 (row window - band)
+    mat_ref,  # [1, 12] f32 SMEM: rows 0/1/2 of the relative projection
+    d_ref,  # pixelwise: [1, DP, ROWS, XT] f32 VMEM | scalar: [1, D] f32 SMEM
+    ref_ref,  # [1, ROWS, C, XT] (HCW tile)
+    src_ref,  # [1, H+K, C, WSRC] (HBM; manual DMA)
+    out_ref,  # [1, DP, ROWS, G, XT]
+    *rest,  # [ent_ref [1, ROWS, XT] if want_entropy], band_ref, sem,
+    #         [ment_ref [3, ROWS, Wp] scratch if want_entropy]
+    K: int,
+    KR: int,
+    JT: int,
+    C: int,
+    G: int,
+    HB: int,
+    NXT: int,
+    DP: int,
+    W: int,
+    H: int,
+    pixelwise: bool,
+    want_entropy: bool,
+):
+    if want_entropy:
+        ent_ref, band_ref, sem, ment_ref = rest
+    else:
+        band_ref, sem = rest
+        ent_ref = ment_ref = None
+
+    b = pl.program_id(0)
+    hb = pl.program_id(1)
+    dblk = pl.program_id(2)
+    xt = pl.program_id(3)
+    NDBLK = pl.num_programs(2)
+    D = NDBLK * DP
+
+    n_step = hb * NDBLK + dblk
+    slot = jax.lax.rem(n_step, 2)
+
+    def dma(step_idx, slot_idx, dp):
+        hh = step_idx // NDBLK
+        dd = jax.lax.rem(step_idx, NDBLK)
+        flat_row = (b * D + dd * DP + dp) * HB + hh
+        y0 = y_start_ref[flat_row]
+        return pltpu.make_async_copy(
+            src_ref.at[b, pl.ds(y0, K)], band_ref.at[slot_idx, dp],
+            sem.at[slot_idx, dp])
+
+    @pl.when(xt == 0)
+    def _():
+        @pl.when(n_step == 0)
+        def _():
+            for dp in range(DP):
+                dma(n_step, slot, dp).start()
+        for dp in range(DP):
+            dma(n_step, slot, dp).wait()
+
+        @pl.when(n_step + 1 < NDBLK * HB)
+        def _():
+            for dp in range(DP):
+                dma(n_step + 1, 1 - slot, dp).start()
+
+    cg = C // G
+    gi = jax.lax.broadcasted_iota(jnp.int32, (G, C), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (G, C), 1)
+    gmat_t = ((ci // cg) == gi).astype(jnp.float32) / float(cg)  # [G, C]
+
+    # Relative-projection rows (ref pixel [x, y, 1] -> src homogeneous).
+    m = [mat_ref[0, k] for k in range(12)]
+    # Reference x coordinates of this output tile (lane axis).
+    x_g = (xt * XT).astype(jnp.float32) + jax.lax.broadcasted_iota(
+        jnp.int32, (1, XT), 1).astype(jnp.float32)
+
+    for dp in range(DP):
+        flat_row = (b * D + dblk * DP + dp) * HB + hb
+        y0 = y_start_ref[flat_row]
+        x0 = pl.multiple_of(x_start_ref[flat_row * NXT + xt], 128)
+        x0f = x0.astype(jnp.float32)
+
+        j_abs = x0f + jax.lax.broadcasted_iota(
+            jnp.int32, (JT, 1), 0).astype(jnp.float32)
+        kr_iota = jax.lax.broadcasted_iota(jnp.int32, (KR, 1), 0).astype(
+            jnp.float32)
+
+        if not pixelwise:
+            d_s = d_ref[0, dblk * DP + dp]  # SMEM scalar
+
+        for r in range(ROWS):
+            off = y_off_ref[(flat_row * NXT + xt) * ROWS + r]
+            band_r = band_ref[slot, dp, pl.ds(off, KR), :,
+                              pl.ds(x0, JT)].reshape(KR * C, JT)
+            # --- in-register plane-sweep coordinates for this row ---
+            y_g = (hb * ROWS + r).astype(jnp.float32)
+            d_row = d_ref[0, dp, r].reshape(1, XT) if pixelwise else d_s
+            zn = (m[8] * x_g + (m[9] * y_g + m[10])) * d_row + m[11]
+            zn = zn + 1e-6
+            px_r = ((m[0] * x_g + (m[1] * y_g + m[2])) * d_row + m[3]) / zn
+            py_r = ((m[4] * x_g + (m[5] * y_g + m[6])) * d_row + m[7]) / zn
+            # Combined frustum + band-window validity (the exact predicate
+            # v3's caller applies as corr * (1 - invalid)).
+            ywin_lo = (y0 + off).astype(jnp.float32)
+            ok = ((px_r >= 0.0) & (px_r <= float(W - 1))
+                  & (py_r >= 0.0) & (py_r <= float(H - 1))
+                  & (zn > 1e-6)
+                  & (px_r >= x0f) & (px_r <= x0f + float(JT - 1))
+                  & (py_r >= ywin_lo) & (py_r <= ywin_lo + float(KR - 1)))
+
+            wxt = jnp.maximum(1.0 - jnp.abs(j_abs - px_r), 0.0)  # [JT, XT]
+            p = jax.lax.dot_general(
+                band_r, wxt.astype(band_r.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [KR*C, XT]
+            k_abs = (y0 + off).astype(jnp.float32) + kr_iota  # [KR, 1]
+            wy = jnp.maximum(1.0 - jnp.abs(k_abs - py_r), 0.0)  # [KR, XT]
+            warped = jnp.zeros((C, XT), jnp.float32)
+            for k in range(KR):
+                warped = warped + wy[k:k + 1] * p[k * C:(k + 1) * C]
+            prod = ref_ref[0, r].astype(jnp.float32) * warped  # [C, XT]
+            corr = jax.lax.dot_general(
+                gmat_t, prod,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [G, XT]
+            corr = corr * ok.astype(jnp.float32)
+            out_ref[0, dp, r] = corr.astype(out_ref.dtype)
+
+            if want_entropy:
+                # Online softmax-entropy over depth (one slab at a time):
+                # running max M, sum-of-exp S and exp-weighted x-sum T of
+                # sim = corr.sum(G); ent = M + log S - T/S on the last slab
+                # (== -sum_d p_d log p_d, the caller's entropy_over_depth
+                # minus its 1e-7 log epsilon, which only perturbs p ~< 1e-7
+                # terms).
+                sim = jnp.sum(corr, axis=0, keepdims=True)  # [1, XT]
+                sl = pl.ds(xt * XT, XT)
+                mm = ment_ref[0, r:r + 1, sl]
+                ss = ment_ref[1, r:r + 1, sl]
+                tt = ment_ref[2, r:r + 1, sl]
+                if dp == 0:
+                    # First depth slab of this row block: reset accumulators
+                    # (scratch persists across grid steps and still holds the
+                    # previous row block's state).
+                    first = dblk == 0
+                    mm = jnp.where(first, jnp.full_like(mm, -3e38), mm)
+                    ss = jnp.where(first, jnp.zeros_like(ss), ss)
+                    tt = jnp.where(first, jnp.zeros_like(tt), tt)
+                m_new = jnp.maximum(mm, sim)
+                scale = jnp.exp(mm - m_new)
+                e = jnp.exp(sim - m_new)
+                ss = ss * scale + e
+                tt = tt * scale + e * sim
+                ment_ref[0, r:r + 1, sl] = m_new
+                ment_ref[1, r:r + 1, sl] = ss
+                ment_ref[2, r:r + 1, sl] = tt
+                if dp == DP - 1:
+                    @pl.when(dblk == NDBLK - 1)
+                    def _():
+                        ent_ref[0, r:r + 1] = (m_new + jnp.log(ss)) - tt / ss
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "band_rows", "band_cols",
+                                             "row_band", "want_invalid",
+                                             "bf16_band", "out_dtype",
+                                             "want_entropy"))
+def plane_sweep_group_corr_v4(
+    ref_fea,  # [B, H, W, C]
+    src_fea,  # [B, H, W, C]
+    src_proj,  # [B, 4, 4] composed
+    ref_proj,  # [B, 4, 4] composed
+    depth_values,  # [B, D, H, W] or [B, D]
+    groups: int = 8,
+    band_rows: int = 12,
+    band_cols: int = 256,
+    row_band: int = 4,
+    want_invalid: bool = False,
+    bf16_band: bool = False,
+    out_dtype=jnp.float32,
+    want_entropy: bool = False,
+):
+    """v3 contract with in-kernel coordinates + invalid masking.
+
+    Returns (corr, None) — or (corr, entropy [B, H, W] f32, None) with
+    want_entropy: window-clipped and frustum-OOB pixels are already zeroed
+    in `corr` (want_invalid is accepted for signature compatibility but the
+    mask itself is never materialized — callers that consume the mask, e.g.
+    epipoleV2 downweighting, must use v3). The entropy output is the cnn
+    visibility path's entropy_over_depth computed in-kernel while the
+    correlation volume is still in registers."""
+    assert not want_invalid, "v4 folds the mask in-kernel; use v3 for the mask"
+    from mvsformer_tpu.ops.geometry import plane_sweep_coords
+
+    B, H, W, C = ref_fea.shape
+    D = depth_values.shape[1]
+    K, JT, KR = band_rows + max(0, ROWS - 8), band_cols, row_band
+    assert KR <= K
+    G = groups
+    pixelwise = depth_values.ndim == 4
+
+    highest = jax.lax.Precision.HIGHEST
+    proj = jnp.matmul(src_proj.astype(jnp.float32),
+                      jnp.linalg.inv(ref_proj.astype(jnp.float32)),
+                      precision=highest)
+    mat = jnp.concatenate(
+        [proj[:, 0, :4], proj[:, 1, :4], proj[:, 2, :4]], axis=1)  # [B, 12]
+    mat = jax.lax.stop_gradient(mat)
+
+    # Band/window starts: the same EXACT per-block / per-(row, x-tile) minima
+    # v3 uses. px/py here feed ONLY these reductions (they are not kernel
+    # operands), so XLA fuses the coordinate math into the reduces instead of
+    # materializing and relayouting two coordinate volumes.
+    px, py, _ = plane_sweep_coords(
+        src_proj.astype(jnp.float32), ref_proj.astype(jnp.float32),
+        depth_values.astype(jnp.float32), H, W)
+    px = jax.lax.stop_gradient(px).reshape(B, D, H, W)
+    py = jax.lax.stop_gradient(py).reshape(B, D, H, W)
+
+    Hp = -(-H // ROWS) * ROWS
+    Wp = -(-W // XT) * XT
+    HB = Hp // ROWS
+    NXT = Wp // XT
+
+    def edge_pad(x, target, axis):
+        pad = target - x.shape[axis]
+        if pad <= 0:
+            return x
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (0, pad)
+        return jnp.pad(x, cfg, mode="edge")
+
+    pxp = edge_pad(edge_pad(px, Hp, 2), Wp, 3)
+    pyp = edge_pad(edge_pad(py, Hp, 2), Wp, 3)
+
+    if bf16_band:
+        src_fea = src_fea.astype(jnp.bfloat16)
+        ref_fea = ref_fea.astype(jnp.bfloat16)
+    max_x0 = (W // 128) * 128
+    WSRC = max_x0 + JT
+    src_hcw = jnp.transpose(src_fea, (0, 1, 3, 2))  # [B, H, C, W]
+    src_hcw = _pad_to(_pad_to(src_hcw, H + K, 1), WSRC, 3)
+    ref_hcw = jnp.transpose(ref_fea, (0, 1, 3, 2))
+    ref_hcw = _pad_to(_pad_to(ref_hcw, Hp, 1), Wp, 3)
+
+    py_blk = pyp.reshape(B, D, HB, ROWS, Wp)
+    y_min = jnp.floor(py_blk.min(axis=(3, 4))).astype(jnp.int32)
+    y_start = jnp.clip(y_min, 0, H)
+    px_blk = pxp.reshape(B, D, HB, ROWS, NXT, XT)
+    x_min = jnp.floor(px_blk.min(axis=(3, 5))).astype(jnp.int32)
+    x_start = jnp.clip((x_min // 128) * 128, 0, max_x0)
+
+    # Per-(row, x-tile) y windows inside the band: [B, D, HB, NXT, ROWS].
+    py_rt = pyp.reshape(B, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
+    y_row_min = jnp.floor(py_rt.min(axis=-1)).astype(jnp.int32)
+    y_off = jnp.clip(y_row_min - y_start[:, :, :, None, None], 0, K - KR)
+    y_off_flat = y_off.reshape(-1)
+
+    band_bytes = K * C * WSRC * (2 if bf16_band else 4)
+    DP = 1
+    for cand in (4, 2):
+        if D % cand == 0 and 2 * cand * band_bytes <= 12 * 1024 * 1024:
+            DP = cand
+            break
+    grid = (B, HB, D // DP, NXT)  # row-blocks outer: see the v4 banner
+    kernel = functools.partial(_kernel_v4, K=K, KR=KR, JT=JT, C=C, G=G, HB=HB,
+                               NXT=NXT, DP=DP, W=W, H=H, pixelwise=pixelwise,
+                               want_entropy=want_entropy)
+
+    if pixelwise:
+        dvp = edge_pad(edge_pad(
+            depth_values.astype(jnp.float32), Hp, 2), Wp, 3)
+        d_spec = pl.BlockSpec((1, DP, ROWS, XT),
+                              lambda b, h, d, x, *_: (b, d, h, x),
+                              memory_space=pltpu.VMEM)
+    else:
+        dvp = depth_values.astype(jnp.float32)  # [B, D]
+        d_spec = pl.BlockSpec((1, D), lambda b, h, d, x, *_: (b, 0),
+                              memory_space=pltpu.SMEM)
+    dvp = jax.lax.stop_gradient(dvp)
+
+    out_shapes = [jax.ShapeDtypeStruct((B, D, Hp, G, Wp), out_dtype)]
+    out_specs = [pl.BlockSpec((1, DP, ROWS, G, XT),
+                              lambda b, h, d, x, *_: (b, d, h, 0, x),
+                              memory_space=pltpu.VMEM)]
+    scratch = [
+        pltpu.VMEM((2, DP, K, C, WSRC), src_fea.dtype),
+        pltpu.SemaphoreType.DMA((2, DP)),
+    ]
+    if want_entropy:
+        out_shapes.append(jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, ROWS, XT),
+                                      lambda b, h, d, x, *_: (b, h, x),
+                                      memory_space=pltpu.VMEM))
+        scratch.append(pltpu.VMEM((3, ROWS, Wp), jnp.float32))
+
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 12), lambda b, h, d, x, *_: (b, 0),
+                             memory_space=pltpu.SMEM),
+                d_spec,
+                pl.BlockSpec((1, ROWS, C, XT),
+                             lambda b, h, d, x, *_: (b, h, 0, x),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*_barrier_small(y_start.reshape(-1), x_start.reshape(-1), y_off_flat),
+      mat, dvp, ref_hcw, src_hcw)
+
+    out = jnp.transpose(res[0][:, :, :H, :, :W], (0, 1, 2, 4, 3))
+    if want_entropy:
+        return out, res[1][:, :H, :W], None
+    return out, None

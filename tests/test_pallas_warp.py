@@ -159,6 +159,51 @@ def test_fused_warp_corr_v3_matches_xla(rng, shape):
     assert valid.mean() > 0.5
 
 
+@pytest.mark.parametrize("depth_form", ["pixelwise", "scalar"])
+def test_fused_warp_corr_v4_matches_v3_masked(rng, depth_form):
+    """v4 (in-kernel coordinates + invalid mask) must equal v3's output with
+    its invalid mask applied — the exact contract StageNet's cnn path uses —
+    for both depth-hypothesis forms ([B,D,H,W] refined stages, [B,D]
+    stage-1)."""
+    H, W, D, C = 48, 128, 4, 8
+    B, G = 1, 8
+    ref = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    src = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    src_proj, ref_proj = random_cameras(rng, B)
+    if depth_form == "pixelwise":
+        dv = np.broadcast_to(
+            np.linspace(400, 900, D, dtype=np.float32)[None, :, None, None],
+            (B, D, H, W)).copy()
+        dv += rng.uniform(-2, 2, dv.shape).astype(np.float32)
+    else:
+        dv = np.linspace(400, 900, D, dtype=np.float32)[None, :].repeat(B, 0)
+
+    warped, invalid_xla = geometry.homo_warp(
+        jnp.asarray(src), jnp.asarray(src_proj), jnp.asarray(ref_proj),
+        jnp.asarray(dv))
+    want = np.asarray(correlation.groupwise_correlation(jnp.asarray(ref), warped, G))
+
+    with pltpu.force_tpu_interpret_mode():
+        got3, invalid3 = warp_corr.plane_sweep_group_corr_v3(
+            jnp.asarray(ref), jnp.asarray(src), jnp.asarray(src_proj),
+            jnp.asarray(ref_proj), jnp.asarray(dv), groups=G,
+            band_rows=16, band_cols=256, row_band=4)
+        got4, inv4 = warp_corr.plane_sweep_group_corr_v4(
+            jnp.asarray(ref), jnp.asarray(src), jnp.asarray(src_proj),
+            jnp.asarray(ref_proj), jnp.asarray(dv), groups=G,
+            band_rows=16, band_cols=256, row_band=4)
+    assert inv4 is None
+    got3 = np.asarray(got3) * (1.0 - np.asarray(invalid3, np.float32)[..., None])
+    got4 = np.asarray(got4)
+    # In-kernel coords recompute the same f32 formula; only fma association
+    # differs.
+    np.testing.assert_allclose(got4, got3, rtol=2e-4, atol=2e-4)
+    # And at XLA-valid, v4-unmasked pixels the correlation matches the oracle.
+    valid = ~np.asarray(invalid3)
+    np.testing.assert_allclose(got4[valid], want[valid], rtol=2e-4, atol=2e-4)
+    assert valid.mean() > 0.5
+
+
 def test_fused_warp_corr_bf16_band(rng):
     """bf16 band end-to-end: looser tolerance (~2^-8 weight quantization)."""
     H, W, D, C = 48, 128, 4, 8
@@ -431,10 +476,91 @@ def test_stagenet_v3_cnn_fusion_masks_clipped(rng):
     assert np.isfinite(np.asarray(out["photometric_confidence"])).all()
 
 
+@pytest.mark.parametrize("depth_form", ["pixelwise", "scalar"])
+def test_fused_warp_corr_v4_streaming_entropy(rng, depth_form):
+    """v4 want_entropy: the in-kernel online softmax-entropy must match
+    entropy_over_depth applied to the kernel's own (masked) correlation."""
+    from mvsformer_tpu.ops.correlation import entropy_over_depth
+
+    H, W, D, C = 48, 128, 6, 8
+    B, G = 1, 8
+    ref = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    src = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    src_proj, ref_proj = random_cameras(rng, B)
+    if depth_form == "pixelwise":
+        dv = np.broadcast_to(
+            np.linspace(400, 900, D, dtype=np.float32)[None, :, None, None],
+            (B, D, H, W)).copy()
+        dv += rng.uniform(-2, 2, dv.shape).astype(np.float32)
+    else:
+        dv = np.linspace(400, 900, D, dtype=np.float32)[None, :].repeat(B, 0)
+
+    with pltpu.force_tpu_interpret_mode():
+        corr, ent, inv = warp_corr.plane_sweep_group_corr_v4(
+            jnp.asarray(ref), jnp.asarray(src), jnp.asarray(src_proj),
+            jnp.asarray(ref_proj), jnp.asarray(dv), groups=G,
+            band_rows=16, band_cols=256, row_band=4, want_entropy=True)
+    assert inv is None
+    want = np.asarray(entropy_over_depth(corr))[..., 0]  # [B,H,W]
+    # Tolerance: the caller's log(p + 1e-7) epsilon vs the streaming exact
+    # -sum p log p; differs only via p ~< 1e-7 terms.
+    np.testing.assert_allclose(np.asarray(ent), want, rtol=1e-4, atol=1e-4)
+
+
+def test_stagenet_v4_matches_v3(rng):
+    """StageNet cnn fusion with fused_variant=4 (in-kernel coords + mask)
+    must reproduce variant 3's depth/confidence — the in-kernel predicate is
+    the exact corr*(1-invalid) the v3 path applies outside."""
+    from mvsformer_tpu.models.stagenet import StageNet
+
+    H, W, C, D = 48, 128, 8, 4
+    B, V = 1, 2
+    ref = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    srcs = jnp.asarray(rng.standard_normal((B, V, H, W, C), dtype=np.float32))
+
+    K = np.array([[200.0, 0, 64.0], [0, 200.0, 24.0], [0, 0, 1]], np.float32)
+
+    def raw_cam(angle, tx):
+        c, s = np.cos(angle), np.sin(angle)
+        cam = np.zeros((2, 4, 4), np.float32)
+        cam[0] = np.eye(4)
+        cam[0, :3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        cam[0, 0, 3] = tx
+        cam[1, :3, :3] = K
+        cam[1, 3, 3] = 1.0
+        return cam
+
+    ref_proj = jnp.asarray(raw_cam(0.0, 0.0)[None])
+    src_projs = jnp.asarray(np.stack(
+        [raw_cam(rng.uniform(-0.05, 0.05), rng.uniform(-2, 2))
+         for _ in range(V)], axis=0)[None])
+    dv = jnp.asarray(np.broadcast_to(
+        np.linspace(400, 900, D, dtype=np.float32)[None, :, None, None],
+        (B, D, H, W)).copy())
+
+    outs = {}
+    for variant in (3, 4):
+        net = StageNet(ndepth=D, stage_idx=0, base_ch=8, fusion_type="cnn",
+                       norm="GN", dtype=jnp.float32, use_fused_warp=True,
+                       fused_variant=variant, fused_band_rows=16)
+        with pltpu.force_tpu_interpret_mode():
+            variables = net.init(jax.random.PRNGKey(0), ref, srcs, ref_proj,
+                                 src_projs, dv, training=False)
+            outs[variant] = net.apply(variables, ref, srcs, ref_proj,
+                                      src_projs, dv, training=False)
+    np.testing.assert_allclose(np.asarray(outs[4]["depth"]),
+                               np.asarray(outs[3]["depth"]),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(outs[4]["photometric_confidence"]),
+        np.asarray(outs[3]["photometric_confidence"]), rtol=1e-4, atol=1e-4)
+
+
 @pytest.mark.parametrize("variant", [
     pytest.param(1, marks=pytest.mark.slow),
     pytest.param(2, marks=pytest.mark.slow),
     3,
+    4,
 ])
 def test_fused_warp_corr_batch2(rng, variant):
     """Regression: the band DMA must read each batch element's own source
@@ -458,12 +584,18 @@ def test_fused_warp_corr_batch2(rng, variant):
 
     fn = {1: warp_corr.plane_sweep_group_corr,
           2: warp_corr.plane_sweep_group_corr_v2,
-          3: warp_corr.plane_sweep_group_corr_v3}[variant]
+          3: warp_corr.plane_sweep_group_corr_v3,
+          4: warp_corr.plane_sweep_group_corr_v4}[variant]
     with pltpu.force_tpu_interpret_mode():
         got, invalid = fn(
             jnp.asarray(ref), jnp.asarray(src), jnp.asarray(src_proj),
             jnp.asarray(ref_proj), jnp.asarray(dv), groups=G,
             band_rows=16, band_cols=256)
+        if invalid is None:  # v4 masks in-kernel; recover the mask from v3
+            _, invalid = warp_corr.plane_sweep_group_corr_v3(
+                jnp.asarray(ref), jnp.asarray(src), jnp.asarray(src_proj),
+                jnp.asarray(ref_proj), jnp.asarray(dv), groups=G,
+                band_rows=16, band_cols=256)
     got = np.asarray(got)
     valid = ~np.asarray(invalid)
     for bi in range(B):
