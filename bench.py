@@ -634,7 +634,7 @@ def _merge_parity(rec, args):
         except Exception:
             prec = None
     if prec is None:
-        prec = _run_worker("v3", min(args.timeout, 1800), parity=True,
+        prec = _run_worker("v4", min(args.timeout, 1800), parity=True,
                            fail_info=fail_info)
     if prec is not None:
         rec["parity"] = {k: prec[k] for k in
@@ -659,9 +659,9 @@ def orchestrate(args):
 
     if args.parity:
         fail_info = {}
-        rec = _run_worker("v3", args.timeout, parity=True, fail_info=fail_info)
+        rec = _run_worker("v4", args.timeout, parity=True, fail_info=fail_info)
         if rec is None:
-            rec = _run_worker("v3", 900, platform_env="cpu", parity=True)
+            rec = _run_worker("v4", 900, platform_env="cpu", parity=True)
             if rec:
                 rec["degraded"] = True
         if rec is None:
@@ -721,12 +721,16 @@ def orchestrate(args):
             sys.stderr.write(f"[bench] {label}: {json.dumps(rec)[:400]}\n")
             return rec
 
-        for v in ("xla", "v1", "v2", "v3"):
+        for v in ("xla", "v1", "v2", "v3", "v4"):
             sweep(f"eval_{v}", f"eval {v}", variant=v, timeout=args.timeout)
         sweep("eval_v3_bf16", "eval v3+bf16", variant="v3",
               timeout=args.timeout, bf16_band=True)
         sweep("eval_v3_corrbf16", "eval v3+corr_bf16", variant="v3",
               timeout=args.timeout, corr_bf16=True)
+        sweep("eval_v4_corrbf16", "eval v4+corr_bf16", variant="v4",
+              timeout=args.timeout, corr_bf16=True)
+        sweep("train_v4_kbwd", "train v4+kbwd", variant="v4",
+              timeout=args.timeout, train=True)
         sweep("train_xla", "train xla", variant="xla", timeout=args.timeout,
               train=True)
         sweep("train_fused_kbwd", "train fused+kbwd", variant="v1",
@@ -749,7 +753,7 @@ def orchestrate(args):
         # Batched eval of the best single-map variant: amortizes dispatch and
         # per-batch host sync; a B=2 HBM OOM is recorded with its reason.
         best_v = max(
-            (k for k in ("eval_v1", "eval_v2", "eval_v3")
+            (k for k in ("eval_v1", "eval_v2", "eval_v3", "eval_v4")
              if details.get(k) and details[k].get("value")
              and not details[k].get("degraded")),
             key=lambda k: details[k]["value"], default=None)
@@ -801,7 +805,7 @@ def main():
                         help="write a jax.profiler trace to this directory")
     parser.add_argument("--no_fused", action="store_true",
                         help="disable the Pallas fused warp kernel")
-    parser.add_argument("--variant", default="v3",
+    parser.add_argument("--variant", default="v4",
                         choices=["xla", "v1", "v2", "v3", "v4"],
                         help="warp+correlation implementation to benchmark "
                              "(default matches ModelConfig's production "

@@ -59,12 +59,13 @@ class ModelConfig:
     eval_view_chunk: int = 0  # >0: eval backbone processes views in chunks of
     # this many (HBM valve at large eval shapes, the TPU analog of the
     # reference's eval-time python view loop, mvsformer_model.py:379-399)
-    fused_variant: int = 3  # 1 = row-batched matmul, 2 = transpose-free,
+    fused_variant: int = 4  # 1 = row-batched matmul, 2 = transpose-free,
     # 3 = transpose-free + per-row y-windows (KR=4 x-matmuls), 4 = v3 with
-    # in-kernel coordinates + invalid mask (no px/py volume plumbing;
-    # epipoleV2 falls back to v3 — it consumes the mask itself). v5e-measured
-    # eval throughput at the DTU shape: v1 1.13 / v2 1.94 / v3 2.10
-    # depth-maps/s/chip vs 0.62 XLA (docs/BENCH_DETAILS.json, round 2)
+    # in-kernel coordinates + invalid mask + streaming entropy (no px/py
+    # volume plumbing; epipoleV2 falls back to v3 — it consumes the mask
+    # itself). v5e-measured eval at the DTU shape (docs/BENCH_DETAILS.json):
+    # XLA 0.69 / v1 1.62 / v2 3.44 / v3 4.32 / v4 5.40 depth-maps/s/chip
+    # (v4 pipelined; serial latency 4.20)
     fused_train_warp: bool = True  # fused kernel fwd in the training warp
     # (v5e: 2.48 train-steps/s with the native bwd vs 0.54 all-XLA)
     fused_native_bwd: bool = True  # Pallas backward kernel (exact band

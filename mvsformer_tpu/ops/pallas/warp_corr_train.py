@@ -41,6 +41,11 @@ def fused_warp_corr_train(ref_fea, src_fea, src_proj, ref_proj, depth_values,
     # With the XLA-recompute fallback the backward differentiates the
     # UNclipped gather formulation, so v3's extra clips would make fwd/bwd
     # disagree — fall back to the wide-band v2 forward there.
+    # Variant 4's extras (in-kernel invalid mask applied to the output,
+    # streaming entropy) are eval-only; its band/window math is exactly v3's,
+    # and the native backward is the adjoint of that form — train on v3.
+    if variant == 4:
+        variant = 3
     if variant == 3 and not native_bwd:
         variant = 2
     kernel = {
