@@ -273,6 +273,7 @@ def worker(args):
         "use_fused_warp": cfg.use_fused_warp, "fused_variant": cfg.fused_variant,
         "fused_band_rows": cfg.fused_band_rows, "warp_rows": _rows,
         "fused_vis": cfg.fused_vis, "fused_fpn": cfg.fused_fpn,
+        "fpn_collapse": cfg.fpn_collapse,
         "smallconv_modes": cfg.smallconv_modes,
         "smallconv_s1cap": cfg.smallconv_s1cap,
         "fused_bf16_band": cfg.fused_bf16_band,
@@ -449,6 +450,7 @@ def parity_worker(args):
     cfg_xla.fused_train_warp = False
     cfg_xla.fused_vis = False
     cfg_xla.fused_fpn = False
+    cfg_xla.fpn_collapse = False
     cfg_xla.smallconv_modes = ""
 
     model_prod = build_model(cfg_prod, dtype=jnp.bfloat16)

@@ -89,6 +89,13 @@ class ModelConfig:
     # eval on TPU only; ops/pallas/vis_net.py). Env: MVSTPU_FUSED_VIS.
     fused_fpn: bool = False  # EXPERIMENTAL fused FPN top-down level kernel
     # (measured slower than the XLA chain on v5e). Env: MVSTPU_FUSED_FPN.
+    fpn_collapse: bool = False  # collapse the FINAL FPN level: push the out3
+    # conv through the 2x resize + 1x1 lateral (ops/fpn_collapse.py) — exact,
+    # skips the 64-ch full-res intra tensor. v5e status: cuts the decoder
+    # scope 40.5 -> 18.3 ms/frame in isolation, but XLA layout assignment
+    # retaliates upstream (conv00 stops lowering as a convolution, stage-4
+    # feature pads go pathological) for a NET regression 5.41 -> 4.57 dm/s;
+    # default OFF until the layout seams are pinned. Env: MVSTPU_FPN_COLLAPSE.
     smallconv_modes: str = "s1,deconv"  # tiny-channel conv classes routed
     # through the matmul+shift-add SmallConv path (ops/smallconv.py):
     # csv of {"s1","strided","deconv"}. Env: MVSTPU_SMALLCONV.

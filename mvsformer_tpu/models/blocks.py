@@ -78,6 +78,15 @@ def torch_conv(x, features, kernel, stride, use_bias, dtype, name="Conv_0"):
     if small_ok and mode in _SMALLCONV_MODES:
         return SmallConv(features, k, strides=s, use_bias=use_bias,
                          dtype=dtype, name=name)(x)
+    # Stride-1 tiny-C 2D convs the matmul path rejects (taps*f over the cap:
+    # conv00 7x7 3->8, conv01 5x5 8->8 at full res) go through the exact
+    # space-to-depth phase conv instead (ops/smallconv.py small_conv_s2d) —
+    # 4x the channels at 1/2 res keeps XLA's conv emitter lane-efficient.
+    if (mode == "s1" and "s2d" in _SMALLCONV_MODES and len(k) == 2
+            and features <= SMALL_CH_MAX and all(kk % 2 == 1 for kk in k)
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        return SmallConv(features, k, strides=s, use_bias=use_bias,
+                         dtype=dtype, phase_s2d=True, name=name)(x)
     return nn.Conv(features, k, strides=s, padding=_torch_pad(k),
                    use_bias=use_bias, dtype=dtype, name=name)(x)
 

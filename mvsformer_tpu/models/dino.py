@@ -194,7 +194,8 @@ class DINOMVSNet(nn.Module):
         else:
             self.decoder = FPNDecoder(feat_chs=tuple(cfg.feat_chs), norm=cfg.norm_type,
                                       dtype=self.dtype, axis_name=self.axis_name,
-                                      use_fused_level=cfg.fused_fpn)
+                                      use_fused_level=cfg.fused_fpn,
+                                      collapse_last=cfg.fpn_collapse)
         if not va.att_fusion:
             self.decoder_vit = VITDecoderStage4NoAtt(out_ch=va.out_ch, vit_ch=vit_ch,
                                                      norm=cfg.norm_type, dtype=self.dtype,

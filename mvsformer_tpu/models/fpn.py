@@ -16,6 +16,7 @@ from flax import linen as nn
 
 from mvsformer_tpu.models.blocks import (
     ConvNormAct, Deconv2dNormAct, MatmulConv1x1, Norm, swish)
+from mvsformer_tpu.ops.fpn_collapse import collapsed_final_level
 from mvsformer_tpu.ops.resize import resize_bilinear
 from mvsformer_tpu.ops.smallconv import SmallConv
 
@@ -57,11 +58,16 @@ class _OutBlock(nn.Module):
     axis_name: str | None = None
 
     @nn.compact
-    def __call__(self, x, training: bool = False):
+    def __call__(self, x, training: bool = False, pre=None):
+        # `pre`: externally computed pre-norm conv output (the collapsed
+        # final-level path, ops/fpn_collapse.py) — skip the conv, keep the
+        # Norm/activation so the variable tree is unchanged.
+        if pre is not None:
+            x = pre
         # Tiny-C_out convs (<=32) hit the channel-minor layout pathology;
         # reformulate as matmul+shift-add (ops/smallconv.py). name="Conv_0"
         # keeps the param tree byte-identical to the nn.Conv it replaces.
-        if self.features <= 32:
+        elif self.features <= 32:
             x = SmallConv(self.features, (self.kernel, self.kernel),
                           dtype=self.dtype, name="Conv_0")(x)
         else:
@@ -79,6 +85,7 @@ class FPNDecoder(nn.Module):
     dtype: Dtype = jnp.bfloat16
     axis_name: str | None = None
     use_fused_level: bool = False  # ModelConfig.fused_fpn (env wins)
+    collapse_last: bool = True     # ModelConfig.fpn_collapse
 
     @nn.compact
     def __call__(self, conv01, conv11, conv21, conv31, training: bool = False):
@@ -142,8 +149,22 @@ class FPNDecoder(nn.Module):
         intra = up2(intra) + MatmulConv1x1(final_ch, dtype=self.dtype, name="inner2")(conv11)
         out2 = _OutBlock(ch[1], **kw, name="out2")(intra, training)
 
-        intra = up2(intra) + MatmulConv1x1(final_ch, dtype=self.dtype, name="inner3")(conv01)
-        out3 = _OutBlock(ch[0], **kw, name="out3")(intra, training)
+        # Final level: its intra tensor is the only one never consumed
+        # downstream, so the out3 conv is pushed through the resize and the
+        # 1x1 lateral (ops/fpn_collapse.py) — exact, and skips the 64-ch
+        # full-res intra entirely. Params are created by the reference path
+        # during init; the collapsed path reads them from the scope.
+        if self.collapse_last and not self.is_initializing():
+            p = self.variables["params"]
+            pre = collapsed_final_level(
+                intra, conv01.astype(self.dtype),
+                p["inner3"]["kernel"], p["inner3"]["bias"],
+                p["out3"]["Conv_0"]["kernel"], p["out3"]["Conv_0"]["bias"])
+            out3 = _OutBlock(ch[0], **kw, name="out3")(None, training, pre=pre)
+        else:
+            intra = up2(intra) + MatmulConv1x1(final_ch, dtype=self.dtype,
+                                               name="inner3")(conv01)
+            out3 = _OutBlock(ch[0], **kw, name="out3")(intra, training)
 
         return out0, out1, out2, out3
 

@@ -88,7 +88,8 @@ class TwinMVSNet(nn.Module):
         else:
             self.decoder = FPNDecoder(feat_chs=tuple(cfg.feat_chs), norm=cfg.norm_type,
                                       dtype=self.dtype, axis_name=self.axis_name,
-                                      use_fused_level=cfg.fused_fpn)
+                                      use_fused_level=cfg.fused_fpn,
+                                      collapse_last=cfg.fpn_collapse)
             self.decoder_vit = TwinDecoderStage4(out_ch=cfg.vit_args.out_ch,
                                                  norm=cfg.norm_type, dtype=self.dtype,
                                                  axis_name=self.axis_name)
@@ -235,6 +236,9 @@ def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None,
     env = os.environ.get("MVSTPU_CORR_BF16")
     if env is not None:  # env override, matching the other routing knobs
         cfg.corr_bf16 = env == "1"
+    env = os.environ.get("MVSTPU_FPN_COLLAPSE")
+    if env is not None:
+        cfg.fpn_collapse = env == "1"
     if cfg.model_type == "twin":
         return TwinMVSNet(cfg, dtype=dtype, axis_name=axis_name,
                           view_axis=view_axis, depth_sharding=depth_sharding)

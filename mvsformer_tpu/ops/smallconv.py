@@ -39,6 +39,7 @@ import itertools
 import math
 from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -236,6 +237,70 @@ def small_conv_transpose(x, kernel, strides, padding, bias=None):
     return out
 
 
+def _space_to_depth(x, b):
+    """[N,H,W,C] -> [N,H/b,W/b,b*b*C], phase-major channel order (ry,rx,c)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // b, b, w // b, b, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h // b, w // b, b * b * c)
+
+
+def _depth_to_space(x, b, c):
+    """Inverse of _space_to_depth."""
+    n, h, w, _ = x.shape
+    x = x.reshape(n, h, w, b, b, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * b, w * b, c)
+
+
+def _phase_map(k: int, b: int):
+    """A[py, m - m_lo, r, t] = 1 iff full-res tap t for output phase py lands
+    on s2d tap (m, r): py + t - p = b*m + r. Returns (A as np.float32, m_lo)."""
+    import numpy as np
+    p = (k - 1) // 2
+    sy = np.arange(b)[:, None] + np.arange(k)[None, :] - p  # [b, k]
+    m = np.floor_divide(sy, b)
+    r = sy - b * m
+    m_lo, m_hi = int(m.min()), int(m.max())
+    a = np.zeros((b, m_hi - m_lo + 1, b, k), np.float32)
+    for py in range(b):
+        for t in range(k):
+            a[py, m[py, t] - m_lo, r[py, t], t] = 1.0
+    return a, m_lo, m_hi
+
+
+def small_conv_s2d(x, kernel, bias=None, block=2):
+    """Stride-1 2D conv with torch padding as an exact space-to-depth conv.
+
+    The taps*Cout matmul form (small_conv) stops paying past ~144 tap-channels
+    (z traffic), and XLA's conv emitter runs tiny-channel full-res convs at
+    single-digit lane occupancy — the FPN encoder's conv00 (7x7, 3->8) and
+    conv01 (5x5, 8->8) at the eval shape sit in exactly that gap. Phase
+    decomposition closes it: out = D2S(conv_{K2}(S2D(x))) where S2D blocks
+    b x b pixels into channels (3->12, 8->32) at 1/b res and K2 is the exact
+    phase rearrangement of the original kernel (zero-padded full-res borders
+    correspond 1:1 to zero-padded s2d borders, so torch padding is preserved
+    bit-exactly in f32). Requires even spatial dims; the caller guards.
+    """
+    kh, kw, cin, cout = kernel.shape
+    n, h, w, _ = x.shape
+    b = block
+    ay, mlo_y, mhi_y = _phase_map(kh, b)
+    ax, mlo_x, mhi_x = _phase_map(kw, b)
+    # K2[M, N, (ry, rx, ci), (py, px, co)] — channel orders match the
+    # (phase-y, phase-x, c) packing of _space_to_depth / _depth_to_space.
+    k2 = jnp.einsum("pmrt,qnsu,tuio->mnrsipqo", jnp.asarray(ay),
+                    jnp.asarray(ax), kernel.astype(jnp.float32))
+    mh, nw = k2.shape[0], k2.shape[1]
+    k2 = k2.reshape(mh, nw, b * b * cin, b * b * cout).astype(x.dtype)
+    x2 = _space_to_depth(x, b)
+    y2 = jax.lax.conv_general_dilated(
+        x2, k2, window_strides=(1, 1),
+        padding=((-mlo_y, mhi_y), (-mlo_x, mhi_x)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        y2 = y2 + jnp.tile(bias, b * b)
+    return _depth_to_space(y2, b, cout)
+
+
 class SmallConv(nn.Module):
     """Drop-in for torch-padded `nn.Conv` with a tiny channel count.
 
@@ -249,6 +314,7 @@ class SmallConv(nn.Module):
     strides: Sequence[int] | int = 1
     use_bias: bool = True
     dtype: Dtype = jnp.bfloat16
+    phase_s2d: bool = False  # stride-1 2D: route through small_conv_s2d
 
     @nn.compact
     def __call__(self, x):
@@ -262,6 +328,8 @@ class SmallConv(nn.Module):
                 if self.use_bias else None)
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype)
+        if self.phase_s2d:
+            return small_conv_s2d(x, kernel, bias)
         return small_conv(x, kernel, bias, strides=strides)
 
 

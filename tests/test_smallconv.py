@@ -154,3 +154,48 @@ def test_strided_and_transpose_gradients_match():
             {"params": {"kernel": k_}}, xt))))(kt)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape,ks,cout", [
+    ((2, 8, 12, 3), (7, 7), 8),    # FPN conv00
+    ((2, 8, 12, 8), (5, 5), 8),    # FPN conv01
+    ((1, 6, 10, 16), (3, 3), 16),  # generic odd-3x3
+])
+def test_s2d_parity_vs_nn_conv(shape, ks, cout):
+    """small_conv_s2d (space-to-depth phase conv) == torch-padded nn.Conv,
+    including zero-padded borders, values and gradients."""
+    from mvsformer_tpu.ops.smallconv import small_conv_s2d
+
+    x = jax.random.normal(jax.random.PRNGKey(4), shape, jnp.float32)
+    ref = nn.Conv(cout, ks, padding="SAME", use_bias=True, dtype=jnp.float32)
+    params = ref.init(jax.random.PRNGKey(5), x)
+    k = params["params"]["kernel"]
+    b = params["params"]["bias"]
+    y_ref = ref.apply(params, x)
+    y = small_conv_s2d(x, k, b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(k, b, x):
+        return jnp.sum(small_conv_s2d(x, k, b) ** 2)
+
+    def loss_ref(k, b, x):
+        p = {"params": {"kernel": k, "bias": b}}
+        return jnp.sum(ref.apply(p, x) ** 2)
+
+    for i, (a, r) in enumerate(zip(jax.grad(loss, argnums=(0, 1, 2))(k, b, x),
+                                   jax.grad(loss_ref, argnums=(0, 1, 2))(k, b, x))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"grad argnum {i}")
+
+
+def test_s2d_module_param_tree_identical():
+    x = jnp.zeros((1, 4, 6, 3))
+    small = SmallConv(8, (7, 7), phase_s2d=True, dtype=jnp.float32)
+    ref = nn.Conv(8, (7, 7), padding="SAME", dtype=jnp.float32)
+    ps = jax.tree.map(lambda a: (a.shape, a.dtype),
+                      small.init(jax.random.PRNGKey(0), x))
+    pr = jax.tree.map(lambda a: (a.shape, a.dtype),
+                      ref.init(jax.random.PRNGKey(0), x))
+    assert ps == pr
