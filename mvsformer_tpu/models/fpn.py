@@ -156,6 +156,9 @@ class FPNDecoder(nn.Module):
         # during init; the collapsed path reads them from the scope.
         if self.collapse_last and not self.is_initializing():
             p = self.variables["params"]
+            # (optimization_barrier on the lateral/pre seams was measured
+            # WORSE — 4.35 vs 4.57 dm/s — it blocks the Norm/swish fusion
+            # without fixing the conv00 lowering flip; keep the plain form.)
             pre = collapsed_final_level(
                 intra, conv01.astype(self.dtype),
                 p["inner3"]["kernel"], p["inner3"]["bias"],

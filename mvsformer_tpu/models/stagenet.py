@@ -108,6 +108,8 @@ class StageNet(nn.Module):
     fused_native_bwd: bool = True  # Pallas bwd kernel vs XLA-recompute VJP
     fused_bf16_band: bool = False  # bf16 band + tent weights (fp32 accum)
     fused_vis: bool = True  # fused VisibilityNet kernel (ModelConfig.fused_vis)
+    mv_fused: bool = True  # all-views-in-one-pallas-call path (v4+cnn eval);
+    # False falls back to the per-view kernel loop (A/B + tests)
     corr_bf16: bool = False  # store per-view correlation volumes in bf16 on
     # the fused eval path (f32 in-kernel accumulation, one rounding at the
     # store; the weighted view sum still accumulates in f32). Halves the HBM
@@ -163,6 +165,39 @@ class StageNet(nn.Module):
                        and training and not want_similarity)
 
         dv32 = depth_values.astype(jnp.float32)
+
+        # All-views-in-one-call fast path (v4 + cnn fusion, eval): the
+        # runtime charges a large fixed cost per in-model pallas_call
+        # (docs/DESIGN.md round-3 DMA wall — ~2 ms/call regardless of size),
+        # so the per-view python loop pays it Vs times per stage. The _mv
+        # wrapper folds views into the kernel's batch grid dim (16 -> 4 warp
+        # calls and 16 -> 4 vis-net calls per frame); numerics identical.
+        if (fused and self.mv_fused and self.fused_variant == 4
+                and self.fusion_type == "cnn"):
+            from mvsformer_tpu.ops.pallas import warp_corr as wc
+
+            src_projs_full = geometry.compose_projection(
+                src_projs.reshape(B * Vs, 2, 4, 4).astype(jnp.float32)
+            ).reshape(B, Vs, 4, 4)
+            kw = {}
+            if self.corr_bf16:
+                kw["out_dtype"] = jnp.bfloat16
+            corr_all, ent_all = wc.plane_sweep_group_corr_v4_mv(
+                ref32, src_feats.astype(jnp.float32), src_projs_full,
+                ref_proj_full, dv32, groups=G,
+                band_rows=self.fused_band_rows,
+                bf16_band=self.fused_bf16_band, want_entropy=True, **kw)
+            w_all = vis_net(
+                ent_all.reshape(B * Vs, H, W, 1).astype(self.dtype),
+                training)  # [B*Vs, H, W, 1] fp32
+            w_all = w_all[..., 0].reshape(B, Vs, H, W)
+            volume_sum = jnp.sum(
+                corr_all.astype(jnp.float32)
+                * w_all[:, :, None, :, :, None], axis=1)
+            vis_sum = jnp.sum(w_all, axis=1)[:, None]  # [B, 1, H, W]
+            return self._tail(volume_sum, vis_sum, sim_sum, dv32, B, H, W,
+                              training, tmp, want_similarity)
+
         for v in range(Vs):
             ent_k = None  # in-kernel entropy (v4 cnn path only)
             src_proj_full = geometry.compose_projection(src_projs[:, v].astype(jnp.float32))
@@ -260,7 +295,14 @@ class StageNet(nn.Module):
             volume_sum = volume_sum + corrs[v].astype(jnp.float32) * ws[v][..., None]
             vis_sum = vis_sum + ws[v]
         del corrs, ws
+        return self._tail(volume_sum, vis_sum, sim_sum, dv32, B, H, W,
+                          training, tmp, want_similarity)
 
+    def _tail(self, volume_sum, vis_sum, sim_sum, dv32, B, H, W,
+              training, tmp, want_similarity):
+        """Shared stage tail: view reduce -> cost reg -> depth decode.
+        (Helper of the compact __call__; submodules created here live in the
+        same scope, names unchanged.)"""
         if self.view_axis is not None:
             volume_sum = jax.lax.psum(volume_sum, self.view_axis)
             vis_sum = jax.lax.psum(vis_sum, self.view_axis)

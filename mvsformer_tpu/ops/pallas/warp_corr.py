@@ -940,7 +940,9 @@ def _kernel_v4(
     gmat_t = ((ci // cg) == gi).astype(jnp.float32) / float(cg)  # [G, C]
 
     # Relative-projection rows (ref pixel [x, y, 1] -> src homogeneous).
-    m = [mat_ref[0, k] for k in range(12)]
+    # mat_ref is the WHOLE [B(,V flattened),12] array in SMEM (a blocked
+    # (1,12) spec fails Mosaic's block-shape check once dim0 > 1).
+    m = [mat_ref[b, k] for k in range(12)]
     # Reference x coordinates of this output tile (lane axis).
     x_g = (xt * XT).astype(jnp.float32) + jax.lax.broadcasted_iota(
         jnp.int32, (1, XT), 1).astype(jnp.float32)
@@ -1172,8 +1174,7 @@ def plane_sweep_group_corr_v4(
             num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 12), lambda b, h, d, x, *_: (b, 0),
-                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
                 d_spec,
                 pl.BlockSpec((1, ROWS, C, XT),
                              lambda b, h, d, x, *_: (b, h, 0, x),
@@ -1195,3 +1196,174 @@ def plane_sweep_group_corr_v4(
     if want_entropy:
         return out, res[1][:, :H, :W], None
     return out, None
+
+
+@functools.partial(jax.jit, static_argnames=("groups", "band_rows", "band_cols",
+                                             "row_band", "bf16_band",
+                                             "out_dtype", "want_entropy"))
+def plane_sweep_group_corr_v4_mv(
+    ref_fea,  # [B, H, W, C]
+    src_feas,  # [B, V, H, W, C] — ALL source views
+    src_projs,  # [B, V, 4, 4] composed
+    ref_proj,  # [B, 4, 4] composed
+    depth_values,  # [B, D, H, W] or [B, D]
+    groups: int = 8,
+    band_rows: int = 12,
+    band_cols: int = 256,
+    row_band: int = 4,
+    bf16_band: bool = False,
+    out_dtype=jnp.float32,
+    want_entropy: bool = False,
+):
+    """v4 for ALL source views in ONE pallas_call.
+
+    Motivation: in-model Pallas calls pay a large fixed per-call cost on this
+    runtime (the round-3 "DMA wall": ~2 ms/call regardless of size — stage-1
+    calls with ~7 MB of real traffic run 2.3 ms). The eval frame makes 16
+    warp calls (4 stages x 4 views); folding the view loop into the kernel's
+    batch grid dimension pays the wall once per stage instead of once per
+    view. The kernel body is UNCHANGED: views ride dim 0 of the grid
+    (vb = b*V + v), per-view quantities (projection rows, band starts, source
+    bands) are indexed by vb, and view-invariant operands (ref tile, depth
+    hypotheses) map through index_map arithmetic (vb // V) with no tiling.
+
+    Returns corr [B, V, D, H, W, G] (+ entropy [B, V, H, W] f32 with
+    want_entropy). Numerics are identical to per-view v4 calls.
+    """
+    B, V, H, W, C = src_feas.shape
+    D = depth_values.shape[1]
+    VB = B * V
+    K, JT, KR = band_rows + max(0, ROWS - 8), band_cols, row_band
+    assert KR <= K
+    G = groups
+    pixelwise = depth_values.ndim == 4
+
+    highest = jax.lax.Precision.HIGHEST
+    src_flat = src_feas.reshape(VB, H, W, C)
+    proj = jnp.matmul(
+        src_projs.reshape(VB, 4, 4).astype(jnp.float32),
+        jnp.linalg.inv(ref_proj.astype(jnp.float32))[:, None]
+        .repeat(V, 1).reshape(VB, 4, 4),
+        precision=highest)
+    mat = jnp.concatenate(
+        [proj[:, 0, :4], proj[:, 1, :4], proj[:, 2, :4]], axis=1)  # [VB, 12]
+    mat = jax.lax.stop_gradient(mat)
+
+    from mvsformer_tpu.ops.geometry import plane_sweep_coords
+
+    ref_rep = jnp.broadcast_to(
+        ref_proj.astype(jnp.float32)[:, None], (B, V, 4, 4)).reshape(VB, 4, 4)
+    dv_rep = jnp.broadcast_to(
+        depth_values.astype(jnp.float32)[:, None],
+        (B, V) + depth_values.shape[1:]).reshape((VB,) + depth_values.shape[1:])
+    px, py, _ = plane_sweep_coords(
+        src_projs.reshape(VB, 4, 4).astype(jnp.float32), ref_rep, dv_rep, H, W)
+    px = jax.lax.stop_gradient(px).reshape(VB, D, H, W)
+    py = jax.lax.stop_gradient(py).reshape(VB, D, H, W)
+
+    Hp = -(-H // ROWS) * ROWS
+    Wp = -(-W // XT) * XT
+    HB = Hp // ROWS
+    NXT = Wp // XT
+
+    def edge_pad(x, target, axis):
+        pad = target - x.shape[axis]
+        if pad <= 0:
+            return x
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (0, pad)
+        return jnp.pad(x, cfg, mode="edge")
+
+    pxp = edge_pad(edge_pad(px, Hp, 2), Wp, 3)
+    pyp = edge_pad(edge_pad(py, Hp, 2), Wp, 3)
+
+    ref_band = ref_fea
+    if bf16_band:
+        src_flat = src_flat.astype(jnp.bfloat16)
+        ref_band = ref_band.astype(jnp.bfloat16)
+    max_x0 = (W // 128) * 128
+    WSRC = max_x0 + JT
+    src_hcw = jnp.transpose(src_flat, (0, 1, 3, 2))  # [VB, H, C, W]
+    src_hcw = _pad_to(_pad_to(src_hcw, H + K, 1), WSRC, 3)
+    ref_hcw = jnp.transpose(ref_band, (0, 1, 3, 2))  # [B, H, C, W]
+    ref_hcw = _pad_to(_pad_to(ref_hcw, Hp, 1), Wp, 3)
+
+    py_blk = pyp.reshape(VB, D, HB, ROWS, Wp)
+    y_min = jnp.floor(py_blk.min(axis=(3, 4))).astype(jnp.int32)
+    y_start = jnp.clip(y_min, 0, H)
+    px_blk = pxp.reshape(VB, D, HB, ROWS, NXT, XT)
+    x_min = jnp.floor(px_blk.min(axis=(3, 5))).astype(jnp.int32)
+    x_start = jnp.clip((x_min // 128) * 128, 0, max_x0)
+
+    py_rt = pyp.reshape(VB, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
+    y_row_min = jnp.floor(py_rt.min(axis=-1)).astype(jnp.int32)
+    y_off = jnp.clip(y_row_min - y_start[:, :, :, None, None], 0, K - KR)
+    y_off_flat = y_off.reshape(-1)
+
+    band_bytes = K * C * WSRC * (2 if bf16_band else 4)
+    DP = 1
+    for cand in (4, 2):
+        if D % cand == 0 and 2 * cand * band_bytes <= 12 * 1024 * 1024:
+            DP = cand
+            break
+    grid = (VB, HB, D // DP, NXT)
+    kernel = functools.partial(_kernel_v4, K=K, KR=KR, JT=JT, C=C, G=G, HB=HB,
+                               NXT=NXT, DP=DP, W=W, H=H, pixelwise=pixelwise,
+                               want_entropy=want_entropy)
+
+    if pixelwise:
+        dvp = edge_pad(edge_pad(
+            depth_values.astype(jnp.float32), Hp, 2), Wp, 3)
+        d_spec = pl.BlockSpec((1, DP, ROWS, XT),
+                              lambda b, h, d, x, *_: (b // V, d, h, x),
+                              memory_space=pltpu.VMEM)
+    else:
+        dvp = depth_values.astype(jnp.float32)  # [B, D]
+        d_spec = pl.BlockSpec((1, D), lambda b, h, d, x, *_: (b // V, 0),
+                              memory_space=pltpu.SMEM)
+    dvp = jax.lax.stop_gradient(dvp)
+
+    out_shapes = [jax.ShapeDtypeStruct((VB, D, Hp, G, Wp), out_dtype)]
+    out_specs = [pl.BlockSpec((1, DP, ROWS, G, XT),
+                              lambda b, h, d, x, *_: (b, d, h, 0, x),
+                              memory_space=pltpu.VMEM)]
+    scratch = [
+        pltpu.VMEM((2, DP, K, C, WSRC), src_flat.dtype),
+        pltpu.SemaphoreType.DMA((2, DP)),
+    ]
+    if want_entropy:
+        out_shapes.append(jax.ShapeDtypeStruct((VB, Hp, Wp), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, ROWS, XT),
+                                      lambda b, h, d, x, *_: (b, h, x),
+                                      memory_space=pltpu.VMEM))
+        scratch.append(pltpu.VMEM((3, ROWS, Wp), jnp.float32))
+
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                d_spec,
+                pl.BlockSpec((1, ROWS, C, XT),
+                             lambda b, h, d, x, *_: (b // V, h, 0, x),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",) * 4,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*_barrier_small(y_start.reshape(-1), x_start.reshape(-1), y_off_flat),
+      mat, dvp, ref_hcw, src_hcw)
+
+    out = jnp.transpose(res[0][:, :, :H, :, :W], (0, 1, 2, 4, 3))
+    out = out.reshape(B, V, D, H, W, G)
+    if want_entropy:
+        return out, res[1][:, :H, :W].reshape(B, V, H, W)
+    return out

@@ -603,3 +603,96 @@ def test_fused_warp_corr_batch2(rng, variant):
                                    rtol=2e-4, atol=2e-4,
                                    err_msg=f"batch {bi} variant {variant}")
         assert valid[bi].mean() > 0.5
+
+
+@pytest.mark.parametrize("pixelwise", [True, False])
+def test_v4_mv_matches_per_view(rng, pixelwise):
+    """plane_sweep_group_corr_v4_mv (all views, one pallas_call) must be
+    numerically identical to per-view v4 calls — same kernel body, views
+    folded into the batch grid dim."""
+    H, W, D, C, V = 48, 128, 4, 8, 3
+    B, G = 1, 8
+    ref = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    srcs = rng.standard_normal((B, V, H, W, C), dtype=np.float32)
+    projs = [random_cameras(rng, B) for _ in range(V)]
+    src_projs = np.stack([p[0][0] for p in projs], axis=0)[None]  # [B,V,4,4]
+    ref_proj = projs[0][1]
+    if pixelwise:
+        dv = np.broadcast_to(
+            np.linspace(400, 900, D, dtype=np.float32)[None, :, None, None],
+            (B, D, H, W)).copy()
+        dv += rng.uniform(-2, 2, dv.shape).astype(np.float32)
+    else:
+        dv = np.broadcast_to(
+            np.linspace(400, 900, D, dtype=np.float32)[None], (B, D)).copy()
+
+    with pltpu.force_tpu_interpret_mode():
+        per_view = []
+        per_ent = []
+        for v in range(V):
+            corr, ent, _ = warp_corr.plane_sweep_group_corr_v4(
+                jnp.asarray(ref), jnp.asarray(srcs[:, v]),
+                jnp.asarray(src_projs[:, v]), jnp.asarray(ref_proj),
+                jnp.asarray(dv), groups=G, band_rows=16, band_cols=256,
+                want_entropy=True)
+            per_view.append(np.asarray(corr))
+            per_ent.append(np.asarray(ent))
+        corr_mv, ent_mv = warp_corr.plane_sweep_group_corr_v4_mv(
+            jnp.asarray(ref), jnp.asarray(srcs), jnp.asarray(src_projs),
+            jnp.asarray(ref_proj), jnp.asarray(dv), groups=G,
+            band_rows=16, band_cols=256, want_entropy=True)
+
+    corr_mv = np.asarray(corr_mv)
+    ent_mv = np.asarray(ent_mv)
+    for v in range(V):
+        np.testing.assert_allclose(corr_mv[:, v], per_view[v],
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(ent_mv[:, v], per_ent[v],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_stagenet_mv_path_matches_view_loop(rng):
+    """The StageNet all-views-in-one-call branch (mv_fused) must reproduce
+    the per-view kernel-loop branch exactly (same kernel, same vis weights,
+    different only in call batching)."""
+    from mvsformer_tpu.models.stagenet import StageNet
+
+    H, W, D, C, V = 48, 128, 4, 8, 3
+    B = 1
+    ref = jnp.asarray(rng.standard_normal((B, H, W, C)), jnp.float32)
+    srcs = jnp.asarray(rng.standard_normal((B, V, H, W, C)), jnp.float32)
+    cams = []
+    for _ in range(V + 1):
+        sp, rp = random_cameras(rng, B)
+        cams.append(sp)
+    # split into [B,2,4,4] (ext, K-ish) form: compose_projection expects
+    # proj[:, 0] @ ... — build trivial split with identity intrinsics.
+    def split(p):
+        two = np.zeros((B, 2, 4, 4), np.float32)
+        two[:, 0] = p
+        two[:, 1] = np.eye(4)
+        return jnp.asarray(two)
+
+    ref_proj = split(np.asarray(random_cameras(rng, B)[1]))
+    src_projs = jnp.stack([split(np.asarray(c)) for c in cams[:V]], axis=1)
+    dv = jnp.asarray(np.broadcast_to(
+        np.linspace(400, 900, D, dtype=np.float32)[None, :, None, None],
+        (B, D, H, W)).copy())
+
+    def run(mv):
+        net = StageNet(ndepth=D, stage_idx=0, base_ch=8, fusion_type="cnn",
+                       depth_type="ce", model_th=8, attn_temp=2.0, norm="GN",
+                       dtype=jnp.float32, use_fused_warp=True,
+                       fused_variant=4, fused_vis=False, mv_fused=mv)
+        with pltpu.force_tpu_interpret_mode():
+            vars_ = net.init(jax.random.PRNGKey(0), ref, srcs, ref_proj,
+                             src_projs, dv, training=False)
+            out = net.apply(vars_, ref, srcs, ref_proj, src_projs, dv,
+                            training=False)
+        return out
+
+    a = run(True)
+    b = run(False)
+    for k in ("depth", "prob_volume", "photometric_confidence"):
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
