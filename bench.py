@@ -277,6 +277,7 @@ def worker(args):
         "smallconv_modes": cfg.smallconv_modes,
         "smallconv_s1cap": cfg.smallconv_s1cap,
         "fused_bf16_band": cfg.fused_bf16_band,
+        "mv_fused": cfg.mv_fused,
         "corr_bf16": cfg.corr_bf16,
         "fused_train_warp": cfg.fused_train_warp if args.train else None,
         "fused_native_bwd": cfg.fused_native_bwd if args.train else None,

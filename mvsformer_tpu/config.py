@@ -73,6 +73,11 @@ class ModelConfig:
     fused_bf16_band: bool = False  # bf16 source band + tent weights in the
     # fused kernel (native-MXU bf16 path, fp32 accumulation); validate
     # accuracy on real DTU before enabling in production
+    mv_fused: bool = True  # all-views-in-ONE-pallas-call eval path (v4 + cnn
+    # fusion): folds source views into the kernel batch grid dim (16 -> 4
+    # warp calls and vis-net calls per frame); numerics identical to the
+    # per-view loop. False = per-view kernel loop (A/B + tests).
+    # Env: MVSTPU_MV_FUSED.
     corr_bf16: bool = False  # store per-view correlation volumes in bf16 on
     # the fused eval path (f32 in-kernel accumulation, one rounding at the
     # store; view-weighted sum still accumulates f32). Halves the largest

@@ -224,6 +224,7 @@ class DINOMVSNet(nn.Module):
                 fused_native_bwd=cfg.fused_native_bwd,
                 fused_bf16_band=cfg.fused_bf16_band,
                 fused_vis=cfg.fused_vis,
+                mv_fused=cfg.mv_fused,
                 corr_bf16=cfg.corr_bf16,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",

@@ -85,7 +85,8 @@ class FPNDecoder(nn.Module):
     dtype: Dtype = jnp.bfloat16
     axis_name: str | None = None
     use_fused_level: bool = False  # ModelConfig.fused_fpn (env wins)
-    collapse_last: bool = True     # ModelConfig.fpn_collapse
+    collapse_last: bool = False    # ModelConfig.fpn_collapse (default OFF:
+    # documented net regression from layout retaliation — see config.py)
 
     @nn.compact
     def __call__(self, conv01, conv11, conv21, conv31, training: bool = False):

@@ -116,6 +116,7 @@ class TwinMVSNet(nn.Module):
                 fused_native_bwd=cfg.fused_native_bwd,
                 fused_bf16_band=cfg.fused_bf16_band,
                 fused_vis=cfg.fused_vis,
+                mv_fused=cfg.mv_fused,
                 corr_bf16=cfg.corr_bf16,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",
@@ -236,6 +237,9 @@ def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None,
     env = os.environ.get("MVSTPU_CORR_BF16")
     if env is not None:  # env override, matching the other routing knobs
         cfg.corr_bf16 = env == "1"
+    env = os.environ.get("MVSTPU_MV_FUSED")
+    if env is not None:
+        cfg.mv_fused = env == "1"
     env = os.environ.get("MVSTPU_FPN_COLLAPSE")
     if env is not None:
         cfg.fpn_collapse = env == "1"

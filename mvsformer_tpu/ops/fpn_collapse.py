@@ -92,10 +92,10 @@ def collapsed_final_level(x, lateral, k1, b1, k3, b3):
     # healthy channel counts instead.
     kc = jnp.einsum("ic,tuco->tuio", k1[0, 0].astype(jnp.float32),
                     k3.astype(jnp.float32)).astype(dt)
-    if hh % 2 == 0 and ww % 2 == 0:
-        b = small_conv_s2d(lateral.astype(dt), kc, None)
-    else:
-        b = small_conv(lateral.astype(dt), kc, None)
+    # hh=2h and ww=2w are even by construction, so the s2d phase form always
+    # applies (a small_conv fallback here would materialize the full-res
+    # taps*Cout tensor noted above).
+    b = small_conv_s2d(lateral.astype(dt), kc, None)
 
     # Border field for the 1x1 bias constant under the conv's zero padding.
     m = jnp.einsum("c,tuco->tuo", b1.astype(jnp.float32),

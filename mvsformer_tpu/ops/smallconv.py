@@ -329,6 +329,10 @@ class SmallConv(nn.Module):
         x, kernel, bias = nn.dtypes.promote_dtype(
             x, kernel, bias, dtype=self.dtype)
         if self.phase_s2d:
+            # small_conv_s2d is a stride-1 formulation; a strided SmallConv
+            # routed here would silently compute the wrong thing.
+            assert all(s == 1 for s in strides), \
+                f"phase_s2d requires stride 1, got {strides}"
             return small_conv_s2d(x, kernel, bias)
         return small_conv(x, kernel, bias, strides=strides)
 

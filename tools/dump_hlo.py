@@ -34,8 +34,7 @@ def main():
         B, V, H, W, D = 1, 5, 1152, 1536, 192
 
     cfg = ModelConfig()
-    cfg.use_fused_warp = True
-    cfg.fused_variant = 3
+    cfg.use_fused_warp = True  # fused_variant stays the production default
     model = build_model(cfg, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
