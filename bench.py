@@ -273,11 +273,13 @@ def worker(args):
         "use_fused_warp": cfg.use_fused_warp, "fused_variant": cfg.fused_variant,
         "fused_band_rows": cfg.fused_band_rows, "warp_rows": _rows,
         "fused_vis": cfg.fused_vis, "fused_fpn": cfg.fused_fpn,
+        "fused_fpn_final": cfg.fused_fpn_final,
         "fpn_collapse": cfg.fpn_collapse,
         "smallconv_modes": cfg.smallconv_modes,
         "smallconv_s1cap": cfg.smallconv_s1cap,
         "fused_bf16_band": cfg.fused_bf16_band,
         "mv_fused": cfg.mv_fused,
+        "warp_union_extra": cfg.warp_union_extra,
         "corr_bf16": cfg.corr_bf16,
         "fused_train_warp": cfg.fused_train_warp if args.train else None,
         "fused_native_bwd": cfg.fused_native_bwd if args.train else None,

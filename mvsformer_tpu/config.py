@@ -73,6 +73,15 @@ class ModelConfig:
     fused_bf16_band: bool = False  # bf16 source band + tent weights in the
     # fused kernel (native-MXU bf16 path, fp32 accumulation); validate
     # accuracy on real DTU before enabling in production
+    warp_union_extra: int = 16  # >= 0: union-band DMA in the v4/v4_mv warp
+    # kernels — ONE (band_rows + this many extra) row band per (row-block,
+    # depth-group) instead of one band per depth plane. The in-model DMA wall
+    # is per-byte (docs/DESIGN.md), so overlapping per-plane windows (always,
+    # for refined-stage hypotheses) make this a up-to-DP*K/KU bytes cut.
+    # Planes whose window escapes the union get v4's standard zero-extension
+    # clamp. -1 = off. Env: MVSTPU_WARP_UNION. v5e-measured at the DTU eval
+    # shape: 5.39 -> 5.67 dm/s pipelined (16 and 32 within noise — the
+    # ~3x kernel-byte cut saturates the win, so the smaller clamp wins).
     mv_fused: bool = True  # all-views-in-ONE-pallas-call eval path (v4 + cnn
     # fusion): folds source views into the kernel batch grid dim (16 -> 4
     # warp calls and vis-net calls per frame); numerics identical to the
@@ -94,6 +103,12 @@ class ModelConfig:
     # eval on TPU only; ops/pallas/vis_net.py). Env: MVSTPU_FUSED_VIS.
     fused_fpn: bool = False  # EXPERIMENTAL fused FPN top-down level kernel
     # (measured slower than the XLA chain on v5e). Env: MVSTPU_FUSED_FPN.
+    fused_fpn_final: bool = False  # the FINAL FPN level (up2 + 1x1 lateral +
+    # out3 conv + folded BN + swish) as ONE Pallas kernel
+    # (ops/pallas/fpn_final.py). The round-5 trace shows this level is the
+    # biggest XLA fusion cluster (~22 ms/frame incl. both top layout
+    # copies); the kernel's floor traffic is ~570 MB/frame.
+    # Env: MVSTPU_FPN_FINAL.
     fpn_collapse: bool = False  # collapse the FINAL FPN level: push the out3
     # conv through the 2x resize + 1x1 lateral (ops/fpn_collapse.py) — exact,
     # skips the 64-ch full-res intra tensor. v5e status: cuts the decoder

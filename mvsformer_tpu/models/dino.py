@@ -225,6 +225,7 @@ class DINOMVSNet(nn.Module):
                 fused_bf16_band=cfg.fused_bf16_band,
                 fused_vis=cfg.fused_vis,
                 mv_fused=cfg.mv_fused,
+                union_extra=cfg.warp_union_extra,
                 corr_bf16=cfg.corr_bf16,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",

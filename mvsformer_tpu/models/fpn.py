@@ -87,6 +87,9 @@ class FPNDecoder(nn.Module):
     use_fused_level: bool = False  # ModelConfig.fused_fpn (env wins)
     collapse_last: bool = False    # ModelConfig.fpn_collapse (default OFF:
     # documented net regression from layout retaliation — see config.py)
+    fused_final: bool = False      # ModelConfig.fused_fpn_final: the final
+    # level (up2 + inner3 + out3 conv/BN/swish) as ONE Pallas kernel
+    # (ops/pallas/fpn_final.py) — eval/BN/TPU only
 
     @nn.compact
     def __call__(self, conv01, conv11, conv21, conv31, training: bool = False):
@@ -155,6 +158,38 @@ class FPNDecoder(nn.Module):
         # 1x1 lateral (ops/fpn_collapse.py) — exact, and skips the 64-ch
         # full-res intra entirely. Params are created by the reference path
         # during init; the collapsed path reads them from the scope.
+        use_final_kernel = (
+            self.fused_final
+            and not training and self.norm == "BN"
+            and not self.is_initializing()
+            and intra.shape[1] * 2 % 8 == 0 and conv01.shape[2] % 256 == 0
+            and jax.devices()[0].platform == "tpu"
+        )
+        if use_final_kernel:
+            from mvsformer_tpu.ops.pallas.fpn_final import fpn_final_level
+
+            p = self.variables["params"]
+            bs = self.variables["batch_stats"]
+            bn_p = p["out3"]["Norm_0"]["BatchNorm_0"]
+            bn_s = bs["out3"]["Norm_0"]["BatchNorm_0"]
+            inv = jax.lax.rsqrt(bn_s["var"].astype(jnp.float32) + 1e-5)
+            mul = bn_p["scale"].astype(jnp.float32) * inv
+            add = (bn_p["bias"].astype(jnp.float32)
+                   - bn_s["mean"].astype(jnp.float32) * mul)
+            # Layout firewall: without the barrier, the kernel operand's
+            # row-major phase transpose propagates its layout demand up
+            # through conv01 into conv00, flipping both full-res encoder
+            # convs off the fast conv emitter (measured: conv00 3.2 ->
+            # 27 ms/frame as a kLoop fusion). The barrier makes XLA satisfy
+            # the demand with one explicit relayout copy instead.
+            lat_b = jax.lax.optimization_barrier(conv01.astype(self.dtype))
+            out3 = fpn_final_level(
+                intra, lat_b,
+                p["inner3"]["kernel"], p["inner3"]["bias"],
+                p["out3"]["Conv_0"]["kernel"], p["out3"]["Conv_0"]["bias"],
+                (mul, add))
+            return out0, out1, out2, out3
+
         if self.collapse_last and not self.is_initializing():
             p = self.variables["params"]
             # (optimization_barrier on the lateral/pre seams was measured

@@ -89,7 +89,8 @@ class TwinMVSNet(nn.Module):
             self.decoder = FPNDecoder(feat_chs=tuple(cfg.feat_chs), norm=cfg.norm_type,
                                       dtype=self.dtype, axis_name=self.axis_name,
                                       use_fused_level=cfg.fused_fpn,
-                                      collapse_last=cfg.fpn_collapse)
+                                      collapse_last=cfg.fpn_collapse,
+                                      fused_final=cfg.fused_fpn_final)
             self.decoder_vit = TwinDecoderStage4(out_ch=cfg.vit_args.out_ch,
                                                  norm=cfg.norm_type, dtype=self.dtype,
                                                  axis_name=self.axis_name)
@@ -117,6 +118,7 @@ class TwinMVSNet(nn.Module):
                 fused_bf16_band=cfg.fused_bf16_band,
                 fused_vis=cfg.fused_vis,
                 mv_fused=cfg.mv_fused,
+                union_extra=cfg.warp_union_extra,
                 corr_bf16=cfg.corr_bf16,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",
@@ -240,6 +242,12 @@ def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None,
     env = os.environ.get("MVSTPU_MV_FUSED")
     if env is not None:
         cfg.mv_fused = env == "1"
+    env = os.environ.get("MVSTPU_WARP_UNION")
+    if env is not None:
+        cfg.warp_union_extra = int(env)
+    env = os.environ.get("MVSTPU_FPN_FINAL")
+    if env is not None:
+        cfg.fused_fpn_final = env == "1"
     env = os.environ.get("MVSTPU_FPN_COLLAPSE")
     if env is not None:
         cfg.fpn_collapse = env == "1"

@@ -110,6 +110,7 @@ class StageNet(nn.Module):
     fused_vis: bool = True  # fused VisibilityNet kernel (ModelConfig.fused_vis)
     mv_fused: bool = True  # all-views-in-one-pallas-call path (v4+cnn eval);
     # False falls back to the per-view kernel loop (A/B + tests)
+    union_extra: int = -1  # ModelConfig.warp_union_extra (v4 union-band DMA)
     corr_bf16: bool = False  # store per-view correlation volumes in bf16 on
     # the fused eval path (f32 in-kernel accumulation, one rounding at the
     # store; the weighted view sum still accumulates in f32). Halves the HBM
@@ -182,6 +183,8 @@ class StageNet(nn.Module):
             kw = {}
             if self.corr_bf16:
                 kw["out_dtype"] = jnp.bfloat16
+            if self.union_extra >= 0:
+                kw["union_extra"] = self.union_extra
             corr_all, ent_all = wc.plane_sweep_group_corr_v4_mv(
                 ref32, src_feats.astype(jnp.float32), src_projs_full,
                 ref_proj_full, dv32, groups=G,
@@ -227,6 +230,8 @@ class StageNet(nn.Module):
                 kw = {}
                 if variant in (3, 4) and self.corr_bf16:
                     kw["out_dtype"] = jnp.bfloat16
+                if variant == 4 and self.union_extra >= 0:
+                    kw["union_extra"] = self.union_extra
                 ent_k = None
                 if variant == 4 and self.fusion_type == "cnn":
                     # v4 streams the visibility entropy out of the kernel

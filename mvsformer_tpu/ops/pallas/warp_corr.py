@@ -894,7 +894,17 @@ def _kernel_v4(
     H: int,
     pixelwise: bool,
     want_entropy: bool,
+    KU: int = 0,
 ):
+    # KU > 0: union-band mode. Instead of DP separate K-row bands per
+    # (row-block, depth-group) step, ONE KU-row band covering the union of
+    # the group's y-windows is DMA'd (y_start_ref then holds the group
+    # minimum, duplicated across the group's dp entries, and the per-row
+    # window offsets were computed against that shared start with a
+    # [0, KU-KR] clamp). The DMA wall is per-byte (docs/DESIGN.md round-4),
+    # so for groups whose per-plane windows overlap — always true for
+    # refined-stage hypotheses — this cuts kernel HBM bytes by up to
+    # DP*K/KU.
     if want_entropy:
         ent_ref, band_ref, sem, ment_ref = rest
     else:
@@ -916,22 +926,28 @@ def _kernel_v4(
         dd = jax.lax.rem(step_idx, NDBLK)
         flat_row = (b * D + dd * DP + dp) * HB + hh
         y0 = y_start_ref[flat_row]
+        if KU:
+            return pltpu.make_async_copy(
+                src_ref.at[b, pl.ds(y0, KU)], band_ref.at[slot_idx],
+                sem.at[slot_idx, 0])
         return pltpu.make_async_copy(
             src_ref.at[b, pl.ds(y0, K)], band_ref.at[slot_idx, dp],
             sem.at[slot_idx, dp])
+
+    NDMA = 1 if KU else DP
 
     @pl.when(xt == 0)
     def _():
         @pl.when(n_step == 0)
         def _():
-            for dp in range(DP):
+            for dp in range(NDMA):
                 dma(n_step, slot, dp).start()
-        for dp in range(DP):
+        for dp in range(NDMA):
             dma(n_step, slot, dp).wait()
 
         @pl.when(n_step + 1 < NDBLK * HB)
         def _():
-            for dp in range(DP):
+            for dp in range(NDMA):
                 dma(n_step + 1, 1 - slot, dp).start()
 
     cg = C // G
@@ -963,8 +979,12 @@ def _kernel_v4(
 
         for r in range(ROWS):
             off = y_off_ref[(flat_row * NXT + xt) * ROWS + r]
-            band_r = band_ref[slot, dp, pl.ds(off, KR), :,
-                              pl.ds(x0, JT)].reshape(KR * C, JT)
+            if KU:
+                band_r = band_ref[slot, pl.ds(off, KR), :,
+                                  pl.ds(x0, JT)].reshape(KR * C, JT)
+            else:
+                band_r = band_ref[slot, dp, pl.ds(off, KR), :,
+                                  pl.ds(x0, JT)].reshape(KR * C, JT)
             # --- in-register plane-sweep coordinates for this row ---
             y_g = (hb * ROWS + r).astype(jnp.float32)
             d_row = d_ref[0, dp, r].reshape(1, XT) if pixelwise else d_s
@@ -1035,10 +1055,47 @@ def _kernel_v4(
                         ent_ref[0, r:r + 1] = (m_new + jnp.log(ss)) - tt / ss
 
 
+def _union_plan(D, K, C, WSRC, union_extra, itemsize):
+    """(KU, DP) for union-band mode, or (0, 0) when it does not apply.
+
+    DP is the largest power-of-two group (capped at 8) dividing D; KU = K +
+    union_extra rows must double-buffer within the VMEM budget. A group's
+    single KU-row band replaces DP K-row bands, so bytes shrink by
+    DP*K/KU when every plane's window fits the union (the wrapper re-bases
+    the per-row offsets with a [0, KU-KR] clamp; planes whose windows
+    escape the union get the same zero-extension treatment v4 already
+    applies at the [0, K-KR] clamp)."""
+    if union_extra is None:
+        return 0, 0
+    DP = 0
+    for cand in (8, 4, 2):
+        if D % cand == 0:
+            DP = cand
+            break
+    if not DP:
+        return 0, 0
+    KU = K + int(union_extra)
+    if 2 * KU * C * WSRC * itemsize > 12 * 1024 * 1024:
+        return 0, 0
+    return KU, DP
+
+
+def _union_starts(y_start, y_row_min, D, DP, KU, KR):
+    """Re-base y-window starts for union-band mode: per-(.., dblk, hb) group
+    minimum duplicated across the group's planes; per-row offsets against
+    that shared start with the [0, KU-KR] clamp."""
+    VB, _, HB = y_start.shape
+    y_u = y_start.reshape(VB, D // DP, DP, HB).min(axis=2)
+    y_start = jnp.broadcast_to(
+        y_u[:, :, None, :], (VB, D // DP, DP, HB)).reshape(VB, D, HB)
+    y_off = jnp.clip(y_row_min - y_start[:, :, :, None, None], 0, KU - KR)
+    return y_start, y_off
+
+
 @functools.partial(jax.jit, static_argnames=("groups", "band_rows", "band_cols",
                                              "row_band", "want_invalid",
                                              "bf16_band", "out_dtype",
-                                             "want_entropy"))
+                                             "want_entropy", "union_extra"))
 def plane_sweep_group_corr_v4(
     ref_fea,  # [B, H, W, C]
     src_fea,  # [B, H, W, C]
@@ -1053,6 +1110,7 @@ def plane_sweep_group_corr_v4(
     bf16_band: bool = False,
     out_dtype=jnp.float32,
     want_entropy: bool = False,
+    union_extra: int | None = None,
 ):
     """v3 contract with in-kernel coordinates + invalid masking.
 
@@ -1112,8 +1170,9 @@ def plane_sweep_group_corr_v4(
         ref_fea = ref_fea.astype(jnp.bfloat16)
     max_x0 = (W // 128) * 128
     WSRC = max_x0 + JT
+    KU, DPU = _union_plan(D, K, C, WSRC, union_extra, 2 if bf16_band else 4)
     src_hcw = jnp.transpose(src_fea, (0, 1, 3, 2))  # [B, H, C, W]
-    src_hcw = _pad_to(_pad_to(src_hcw, H + K, 1), WSRC, 3)
+    src_hcw = _pad_to(_pad_to(src_hcw, H + (KU or K), 1), WSRC, 3)
     ref_hcw = jnp.transpose(ref_fea, (0, 1, 3, 2))
     ref_hcw = _pad_to(_pad_to(ref_hcw, Hp, 1), Wp, 3)
 
@@ -1127,19 +1186,23 @@ def plane_sweep_group_corr_v4(
     # Per-(row, x-tile) y windows inside the band: [B, D, HB, NXT, ROWS].
     py_rt = pyp.reshape(B, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
     y_row_min = jnp.floor(py_rt.min(axis=-1)).astype(jnp.int32)
-    y_off = jnp.clip(y_row_min - y_start[:, :, :, None, None], 0, K - KR)
+    if KU:
+        DP = DPU
+        y_start, y_off = _union_starts(y_start, y_row_min, D, DP, KU, KR)
+    else:
+        y_off = jnp.clip(y_row_min - y_start[:, :, :, None, None], 0, K - KR)
+        band_bytes = K * C * WSRC * (2 if bf16_band else 4)
+        DP = 1
+        for cand in (4, 2):
+            if D % cand == 0 and 2 * cand * band_bytes <= 12 * 1024 * 1024:
+                DP = cand
+                break
     y_off_flat = y_off.reshape(-1)
 
-    band_bytes = K * C * WSRC * (2 if bf16_band else 4)
-    DP = 1
-    for cand in (4, 2):
-        if D % cand == 0 and 2 * cand * band_bytes <= 12 * 1024 * 1024:
-            DP = cand
-            break
     grid = (B, HB, D // DP, NXT)  # row-blocks outer: see the v4 banner
     kernel = functools.partial(_kernel_v4, K=K, KR=KR, JT=JT, C=C, G=G, HB=HB,
                                NXT=NXT, DP=DP, W=W, H=H, pixelwise=pixelwise,
-                               want_entropy=want_entropy)
+                               want_entropy=want_entropy, KU=KU)
 
     if pixelwise:
         dvp = edge_pad(edge_pad(
@@ -1158,8 +1221,9 @@ def plane_sweep_group_corr_v4(
                               lambda b, h, d, x, *_: (b, d, h, 0, x),
                               memory_space=pltpu.VMEM)]
     scratch = [
-        pltpu.VMEM((2, DP, K, C, WSRC), src_fea.dtype),
-        pltpu.SemaphoreType.DMA((2, DP)),
+        pltpu.VMEM((2, KU, C, WSRC) if KU else (2, DP, K, C, WSRC),
+                   src_fea.dtype),
+        pltpu.SemaphoreType.DMA((2, 1) if KU else (2, DP)),
     ]
     if want_entropy:
         out_shapes.append(jax.ShapeDtypeStruct((B, Hp, Wp), jnp.float32))
@@ -1200,7 +1264,8 @@ def plane_sweep_group_corr_v4(
 
 @functools.partial(jax.jit, static_argnames=("groups", "band_rows", "band_cols",
                                              "row_band", "bf16_band",
-                                             "out_dtype", "want_entropy"))
+                                             "out_dtype", "want_entropy",
+                                             "union_extra"))
 def plane_sweep_group_corr_v4_mv(
     ref_fea,  # [B, H, W, C]
     src_feas,  # [B, V, H, W, C] — ALL source views
@@ -1214,6 +1279,7 @@ def plane_sweep_group_corr_v4_mv(
     bf16_band: bool = False,
     out_dtype=jnp.float32,
     want_entropy: bool = False,
+    union_extra: int | None = None,
 ):
     """v4 for ALL source views in ONE pallas_call.
 
@@ -1283,8 +1349,9 @@ def plane_sweep_group_corr_v4_mv(
         ref_band = ref_band.astype(jnp.bfloat16)
     max_x0 = (W // 128) * 128
     WSRC = max_x0 + JT
+    KU, DPU = _union_plan(D, K, C, WSRC, union_extra, 2 if bf16_band else 4)
     src_hcw = jnp.transpose(src_flat, (0, 1, 3, 2))  # [VB, H, C, W]
-    src_hcw = _pad_to(_pad_to(src_hcw, H + K, 1), WSRC, 3)
+    src_hcw = _pad_to(_pad_to(src_hcw, H + (KU or K), 1), WSRC, 3)
     ref_hcw = jnp.transpose(ref_band, (0, 1, 3, 2))  # [B, H, C, W]
     ref_hcw = _pad_to(_pad_to(ref_hcw, Hp, 1), Wp, 3)
 
@@ -1297,19 +1364,23 @@ def plane_sweep_group_corr_v4_mv(
 
     py_rt = pyp.reshape(VB, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
     y_row_min = jnp.floor(py_rt.min(axis=-1)).astype(jnp.int32)
-    y_off = jnp.clip(y_row_min - y_start[:, :, :, None, None], 0, K - KR)
+    if KU:
+        DP = DPU
+        y_start, y_off = _union_starts(y_start, y_row_min, D, DP, KU, KR)
+    else:
+        y_off = jnp.clip(y_row_min - y_start[:, :, :, None, None], 0, K - KR)
+        band_bytes = K * C * WSRC * (2 if bf16_band else 4)
+        DP = 1
+        for cand in (4, 2):
+            if D % cand == 0 and 2 * cand * band_bytes <= 12 * 1024 * 1024:
+                DP = cand
+                break
     y_off_flat = y_off.reshape(-1)
 
-    band_bytes = K * C * WSRC * (2 if bf16_band else 4)
-    DP = 1
-    for cand in (4, 2):
-        if D % cand == 0 and 2 * cand * band_bytes <= 12 * 1024 * 1024:
-            DP = cand
-            break
     grid = (VB, HB, D // DP, NXT)
     kernel = functools.partial(_kernel_v4, K=K, KR=KR, JT=JT, C=C, G=G, HB=HB,
                                NXT=NXT, DP=DP, W=W, H=H, pixelwise=pixelwise,
-                               want_entropy=want_entropy)
+                               want_entropy=want_entropy, KU=KU)
 
     if pixelwise:
         dvp = edge_pad(edge_pad(
@@ -1328,8 +1399,9 @@ def plane_sweep_group_corr_v4_mv(
                               lambda b, h, d, x, *_: (b, d, h, 0, x),
                               memory_space=pltpu.VMEM)]
     scratch = [
-        pltpu.VMEM((2, DP, K, C, WSRC), src_flat.dtype),
-        pltpu.SemaphoreType.DMA((2, DP)),
+        pltpu.VMEM((2, KU, C, WSRC) if KU else (2, DP, K, C, WSRC),
+                   src_flat.dtype),
+        pltpu.SemaphoreType.DMA((2, 1) if KU else (2, DP)),
     ]
     if want_entropy:
         out_shapes.append(jax.ShapeDtypeStruct((VB, Hp, Wp), jnp.float32))

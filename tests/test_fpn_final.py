@@ -1,0 +1,80 @@
+"""Parity tests for the fused final-FPN-level kernel (ops/pallas/fpn_final).
+
+Oracle = the exact FPNDecoder reference-path math for the final level:
+swish(BN_affine(Conv3x3(up2(intra2) + Conv1x1(lateral)))) with the
+align_corners=True 2x bilinear of ops/resize.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from mvsformer_tpu.ops.pallas.fpn_final import fpn_final_level
+from mvsformer_tpu.ops.resize import resize_bilinear
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _oracle(intra2, lateral, w1, b1, k3, b3, mul, add):
+    up = resize_bilinear(
+        intra2, (2 * intra2.shape[1], 2 * intra2.shape[2]),
+        spatial_axes=(1, 2), align_corners=True)
+    intra = up + (lateral @ w1[0, 0] + b1)
+    pre = jax.lax.conv_general_dilated(
+        intra, k3, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b3
+    y = pre * mul + add
+    return y * jax.nn.sigmoid(y)
+
+
+def test_fpn_final_matches_reference_chain(rng):
+    N, h, w = 2, 16, 128
+    intra2 = jnp.asarray(rng.standard_normal((N, h, w, 64)), jnp.float32)
+    lateral = jnp.asarray(
+        rng.standard_normal((N, 2 * h, 2 * w, 8)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((1, 1, 8, 64)) * 0.3, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((64,)) * 0.1, jnp.float32)
+    k3 = jnp.asarray(rng.standard_normal((3, 3, 64, 8)) * 0.1, jnp.float32)
+    b3 = jnp.asarray(rng.standard_normal((8,)) * 0.1, jnp.float32)
+    mul = jnp.asarray(rng.uniform(0.5, 1.5, (8,)), jnp.float32)
+    add = jnp.asarray(rng.standard_normal((8,)) * 0.1, jnp.float32)
+
+    want = np.asarray(_oracle(intra2, lateral, w1, b1, k3, b3, mul, add))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fpn_final_level(
+            intra2, lateral, w1, b1, k3, b3, (mul, add)))
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fpn_final_bf16_close(rng):
+    """bf16 compute path stays within bf16-scale error of the f32 oracle."""
+    N, h, w = 1, 8, 128
+    intra2_f = rng.standard_normal((N, h, w, 64)).astype(np.float32)
+    lateral_f = rng.standard_normal((N, 2 * h, 2 * w, 8)).astype(np.float32)
+    w1 = jnp.asarray(rng.standard_normal((1, 1, 8, 64)) * 0.3, jnp.float32)
+    b1 = jnp.asarray(rng.standard_normal((64,)) * 0.1, jnp.float32)
+    k3 = jnp.asarray(rng.standard_normal((3, 3, 64, 8)) * 0.1, jnp.float32)
+    b3 = jnp.asarray(rng.standard_normal((8,)) * 0.1, jnp.float32)
+    mul = jnp.asarray(rng.uniform(0.5, 1.5, (8,)), jnp.float32)
+    add = jnp.asarray(rng.standard_normal((8,)) * 0.1, jnp.float32)
+
+    want = np.asarray(_oracle(jnp.asarray(intra2_f), jnp.asarray(lateral_f),
+                              w1, b1, k3, b3, mul, add))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fpn_final_level(
+            jnp.asarray(intra2_f, jnp.bfloat16),
+            jnp.asarray(lateral_f, jnp.bfloat16),
+            w1, b1, k3, b3, (mul, add))).astype(np.float32)
+
+    # bf16 inputs + bf16 z matmul: expect ~1e-2 relative agreement
+    err = np.abs(got - want)
+    scale = np.abs(want) + 1.0
+    assert (err / scale).max() < 5e-2, (err / scale).max()

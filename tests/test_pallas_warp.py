@@ -651,6 +651,53 @@ def test_v4_mv_matches_per_view(rng, pixelwise):
                                    rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("mv", [False, True])
+def test_v4_union_band_matches_per_plane(rng, mv):
+    """union_extra: one KU-row union band per depth-group must reproduce the
+    per-plane K-row bands exactly when KU covers every group member's window
+    (KU - KR >= the largest possible in-group offset — here KU covers the
+    whole image height, so no clamp can bind)."""
+    H, W, D, C, V = 48, 128, 4, 8, 2
+    B, G = 1, 8
+    ref = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    srcs = rng.standard_normal((B, V, H, W, C), dtype=np.float32)
+    projs = [random_cameras(rng, B) for _ in range(V)]
+    src_projs = np.stack([p[0][0] for p in projs], axis=0)[None]
+    ref_proj = projs[0][1]
+    dv = np.broadcast_to(
+        np.linspace(400, 900, D, dtype=np.float32)[None, :, None, None],
+        (B, D, H, W)).copy()
+    dv += rng.uniform(-2, 2, dv.shape).astype(np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        if mv:
+            base, ent0 = warp_corr.plane_sweep_group_corr_v4_mv(
+                jnp.asarray(ref), jnp.asarray(srcs), jnp.asarray(src_projs),
+                jnp.asarray(ref_proj), jnp.asarray(dv), groups=G,
+                band_rows=16, band_cols=256, want_entropy=True)
+            got, ent1 = warp_corr.plane_sweep_group_corr_v4_mv(
+                jnp.asarray(ref), jnp.asarray(srcs), jnp.asarray(src_projs),
+                jnp.asarray(ref_proj), jnp.asarray(dv), groups=G,
+                band_rows=16, band_cols=256, want_entropy=True,
+                union_extra=H)
+        else:
+            base, ent0, _ = warp_corr.plane_sweep_group_corr_v4(
+                jnp.asarray(ref), jnp.asarray(srcs[:, 0]),
+                jnp.asarray(src_projs[:, 0]), jnp.asarray(ref_proj),
+                jnp.asarray(dv), groups=G, band_rows=16, band_cols=256,
+                want_entropy=True)
+            got, ent1, _ = warp_corr.plane_sweep_group_corr_v4(
+                jnp.asarray(ref), jnp.asarray(srcs[:, 0]),
+                jnp.asarray(src_projs[:, 0]), jnp.asarray(ref_proj),
+                jnp.asarray(dv), groups=G, band_rows=16, band_cols=256,
+                want_entropy=True, union_extra=H)
+
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ent1), np.asarray(ent0),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_stagenet_mv_path_matches_view_loop(rng):
     """The StageNet all-views-in-one-call branch (mv_fused) must reproduce
     the per-view kernel-loop branch exactly (same kernel, same vis weights,
