@@ -103,12 +103,22 @@ class ModelConfig:
     # eval on TPU only; ops/pallas/vis_net.py). Env: MVSTPU_FUSED_VIS.
     fused_fpn: bool = False  # EXPERIMENTAL fused FPN top-down level kernel
     # (measured slower than the XLA chain on v5e). Env: MVSTPU_FUSED_FPN.
-    fused_fpn_final: bool = False  # the FINAL FPN level (up2 + 1x1 lateral +
+    fused_enc_head: bool = True  # conv00 + conv01 + downsample1 as ONE
+    # Pallas kernel (ops/pallas/encoder_head.py), emitting the final-level
+    # lateral in kernel-native (phase, c) form. Requires fused_fpn_final
+    # (build_model enforces the pairing): any Pallas consumer of an
+    # XLA-produced conv01 forces default layout on it, and layout
+    # assignment then re-lowers conv00/conv01 off the fast conv emitter
+    # (measured 3.2 -> 27 ms/frame); producing conv01 IN a kernel whose
+    # input is the jit entry parameter is the only clean escape.
+    # Env: MVSTPU_ENC_HEAD.
+    fused_fpn_final: bool = True  # the FINAL FPN level (up2 + 1x1 lateral +
     # out3 conv + folded BN + swish) as ONE Pallas kernel
-    # (ops/pallas/fpn_final.py). The round-5 trace shows this level is the
+    # (ops/pallas/fpn_final.py). The round-5 trace showed this level was the
     # biggest XLA fusion cluster (~22 ms/frame incl. both top layout
-    # copies); the kernel's floor traffic is ~570 MB/frame.
-    # Env: MVSTPU_FPN_FINAL.
+    # copies); the kernel runs it in ~2.5 ms/frame. Paired with
+    # fused_enc_head (the two defaults flip together): 5.67 -> 7.37 dm/s
+    # pipelined on v5e. Env: MVSTPU_FPN_FINAL.
     fpn_collapse: bool = False  # collapse the FINAL FPN level: push the out3
     # conv through the 2x resize + 1x1 lateral (ops/fpn_collapse.py) — exact,
     # skips the 64-ch full-res intra tensor. v5e status: cuts the decoder

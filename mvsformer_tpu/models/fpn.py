@@ -26,19 +26,60 @@ Dtype = Any
 _FUSED_FPN_ENV = os.environ.get("MVSTPU_FUSED_FPN")
 
 
+def _on_tpu() -> bool:
+    """Kernel gates lower only on real TPU backends (tests monkeypatch this
+    to exercise the fused paths in interpret mode on CPU)."""
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 class FPNEncoder(nn.Module):
     feat_chs: Sequence[int] = (8, 16, 32, 64)
     norm: str = "BN"
     dtype: Dtype = jnp.bfloat16
     axis_name: str | None = None
+    fused_head: bool = False  # ModelConfig.fused_enc_head: conv00 + conv01 +
+    # downsample1 as ONE Pallas kernel (ops/pallas/encoder_head.py). When
+    # active, the returned "conv01" is the (phase, c)-rows form
+    # [N, H, 16, W/2] for the fused final-level kernel — pair both knobs.
+
+    def _bn_fold(self, name):
+        p = self.variables["params"][name]["Norm_0"]["BatchNorm_0"]
+        s = self.variables["batch_stats"][name]["Norm_0"]["BatchNorm_0"]
+        inv = jax.lax.rsqrt(s["var"].astype(jnp.float32) + 1e-5)
+        mul = p["scale"].astype(jnp.float32) * inv
+        add = (p["bias"].astype(jnp.float32)
+               - s["mean"].astype(jnp.float32) * mul)
+        return mul, add
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         ch = self.feat_chs
         kw = dict(norm=self.norm, dtype=self.dtype, axis_name=self.axis_name)
-        conv00 = ConvNormAct(ch[0], kernel=7, **kw, name="conv00")(x, training)
-        conv01 = ConvNormAct(ch[0], kernel=5, **kw, name="conv01")(conv00, training)
-        down0 = ConvNormAct(ch[1], kernel=5, stride=2, **kw, name="downsample1")(conv01, training)
+        use_head = (
+            self.fused_head
+            and not training and self.norm == "BN"
+            and not self.is_initializing()
+            and tuple(ch[:2]) == (8, 16)
+            and x.shape[1] % 16 == 0 and x.shape[2] % 256 == 0
+            and _on_tpu()
+        )
+        if use_head:
+            from mvsformer_tpu.ops.pallas.encoder_head import encoder_head
+
+            p = self.variables["params"]
+            conv01, down0 = encoder_head(
+                x.astype(self.dtype),
+                p["conv00"]["Conv_0"]["kernel"], self._bn_fold("conv00"),
+                p["conv01"]["Conv_0"]["kernel"], self._bn_fold("conv01"),
+                p["downsample1"]["Conv_0"]["kernel"],
+                self._bn_fold("downsample1"))
+        else:
+            conv00 = ConvNormAct(ch[0], kernel=7, **kw, name="conv00")(x, training)
+            conv01 = ConvNormAct(ch[0], kernel=5, **kw, name="conv01")(conv00, training)
+            down0 = ConvNormAct(ch[1], kernel=5, stride=2, **kw, name="downsample1")(conv01, training)
         conv10 = ConvNormAct(ch[1], **kw, name="conv10")(down0, training)
         conv11 = ConvNormAct(ch[1], **kw, name="conv11")(conv10, training)
         down1 = ConvNormAct(ch[2], kernel=5, stride=2, **kw, name="downsample2")(conv11, training)
@@ -158,13 +199,23 @@ class FPNDecoder(nn.Module):
         # 1x1 lateral (ops/fpn_collapse.py) — exact, and skips the 64-ch
         # full-res intra entirely. Params are created by the reference path
         # during init; the collapsed path reads them from the scope.
+        # The fused encoder head hands the lateral over in (phase, c)-rows
+        # form [N, H, 16, w] (w >= 128 in the last dim distinguishes it from
+        # NHWC's 8 channels); it is only ever produced when the final-level
+        # kernel is on to consume it.
+        lat_phased = conv01.shape[-1] >= 128
         use_final_kernel = (
             self.fused_final
             and not training and self.norm == "BN"
             and not self.is_initializing()
-            and intra.shape[1] * 2 % 8 == 0 and conv01.shape[2] % 256 == 0
-            and jax.devices()[0].platform == "tpu"
+            and intra.shape[1] * 2 % 8 == 0
+            and (lat_phased or conv01.shape[2] % 256 == 0)
+            and _on_tpu()
         )
+        if lat_phased and not use_final_kernel:
+            raise ValueError(
+                "phase-form lateral from the fused encoder head requires the "
+                "fused final-level kernel (fused_fpn_final)")
         if use_final_kernel:
             from mvsformer_tpu.ops.pallas.fpn_final import fpn_final_level
 
@@ -176,13 +227,17 @@ class FPNDecoder(nn.Module):
             mul = bn_p["scale"].astype(jnp.float32) * inv
             add = (bn_p["bias"].astype(jnp.float32)
                    - bn_s["mean"].astype(jnp.float32) * mul)
-            # Layout firewall: without the barrier, the kernel operand's
-            # row-major phase transpose propagates its layout demand up
-            # through conv01 into conv00, flipping both full-res encoder
-            # convs off the fast conv emitter (measured: conv00 3.2 ->
-            # 27 ms/frame as a kLoop fusion). The barrier makes XLA satisfy
-            # the demand with one explicit relayout copy instead.
-            lat_b = jax.lax.optimization_barrier(conv01.astype(self.dtype))
+            # Layout firewall (NHWC lateral only): without the barrier, the
+            # kernel operand's row-major phase transpose propagates its
+            # layout demand up through conv01 into conv00, flipping both
+            # full-res encoder convs off the fast conv emitter (measured:
+            # conv00 3.2 -> 27 ms/frame as a kLoop fusion; the barrier only
+            # recovers a fraction — 4.79 -> 4.85 of 5.67 dm/s). The REAL fix
+            # is the fused encoder head (fused_enc_head), which produces the
+            # lateral in kernel-native form so no demand ever reaches the
+            # encoder convs.
+            lat_b = conv01 if lat_phased else jax.lax.optimization_barrier(
+                conv01.astype(self.dtype))
             out3 = fpn_final_level(
                 intra, lat_b,
                 p["inner3"]["kernel"], p["inner3"]["bias"],

@@ -78,7 +78,10 @@ class TwinMVSNet(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.encoder = FPNEncoder(feat_chs=tuple(cfg.feat_chs), norm=cfg.norm_type,
-                                  dtype=self.dtype, axis_name=self.axis_name)
+                                  dtype=self.dtype, axis_name=self.axis_name,
+                                  fused_head=(cfg.fused_enc_head
+                                              and cfg.fused_fpn_final
+                                              and not cfg.multi_scale))
         if cfg.multi_scale:
             self.decoder = FPNDecoderV2(feat_chs=tuple(cfg.feat_chs), norm=cfg.norm_type,
                                         dtype=self.dtype, axis_name=self.axis_name)
@@ -248,6 +251,9 @@ def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None,
     env = os.environ.get("MVSTPU_FPN_FINAL")
     if env is not None:
         cfg.fused_fpn_final = env == "1"
+    env = os.environ.get("MVSTPU_ENC_HEAD")
+    if env is not None:
+        cfg.fused_enc_head = env == "1"
     env = os.environ.get("MVSTPU_FPN_COLLAPSE")
     if env is not None:
         cfg.fpn_collapse = env == "1"

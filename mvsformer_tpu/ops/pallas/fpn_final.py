@@ -197,24 +197,29 @@ def fpn_final_level(intra2, lateral, w1, b1, k3, b3, bn_fold):
     """swish(BN_affine(Conv3x3(up2(intra2) + Conv1x1(lateral)))) in one pass.
 
     intra2:  [N, h, w, 64]  half-res decoder intra tensor (compute dtype)
-    lateral: [N, 2h, 2w, 8] full-res encoder feature (conv01)
+    lateral: [N, 2h, 2w, 8] full-res encoder feature (conv01), or its
+             (phase, c)-rows form [N, 2h, 16, w] from the fused encoder head
     w1/b1:   inner3 params  [1, 1, 8, 64] / [64]
     k3/b3:   out3 Conv_0    [3, 3, 64, 8] / [8]
     bn_fold: (mul [8], add [8]) f32 — folded inference BN affine
     returns  [N, 2h, 2w, 8] in intra2.dtype
     """
     N, h, w, c = intra2.shape
-    assert c == 64 and lateral.shape == (N, 2 * h, 2 * w, 8), (
-        intra2.shape, lateral.shape)
+    assert c == 64, intra2.shape
     H = 2 * h
     assert H % R == 0 and w % 128 == 0, (H, w)
     HB = H // R
     dt = intra2.dtype
 
     x2t = jnp.transpose(intra2, (0, 1, 3, 2))  # [N, h, 64, w]
-    latt = jnp.transpose(
-        lateral.reshape(N, H, w, 2, 8), (0, 1, 3, 4, 2)
-    ).reshape(N, H, 16, w).astype(dt)          # rows = (phase, c)
+    if lateral.shape == (N, H, 16, w):
+        # already in (phase, c) rows — produced by the fused encoder head
+        latt = lateral.astype(dt)
+    else:
+        assert lateral.shape == (N, H, 2 * w, 8), lateral.shape
+        latt = jnp.transpose(
+            lateral.reshape(N, H, w, 2, 8), (0, 1, 3, 4, 2)
+        ).reshape(N, H, 16, w).astype(dt)      # rows = (phase, c)
     w1t = jnp.transpose(w1[0, 0]).astype(dt)   # [64, 8]
     k3m = jnp.transpose(
         jnp.moveaxis(k3, 2, 0).reshape(64, 72)).astype(dt)  # [72, 64]

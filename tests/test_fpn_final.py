@@ -54,6 +54,40 @@ def test_fpn_final_matches_reference_chain(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_encoder_decoder_fused_chain_matches_flax(rng, monkeypatch):
+    """FPNEncoder(fused_head) + FPNDecoder(fused_final) must reproduce the
+    flax reference chain end-to-end (eval, folded BN, shared params)."""
+    from mvsformer_tpu.models import fpn as fpn_mod
+
+    monkeypatch.setattr(fpn_mod, "_on_tpu", lambda: True)
+
+    N, H, W = 1, 32, 256
+    x = jnp.asarray(rng.standard_normal((N, H, W, 3)), jnp.float32)
+
+    def build(fused):
+        enc = fpn_mod.FPNEncoder(norm="BN", dtype=jnp.float32,
+                                 fused_head=fused)
+        dec = fpn_mod.FPNDecoder(norm="BN", dtype=jnp.float32,
+                                 fused_final=fused)
+        return enc, dec
+
+    enc_ref, dec_ref = build(False)
+    enc_f, dec_f = build(True)
+    ev = enc_ref.init(jax.random.PRNGKey(0), x, training=False)
+    feats = enc_ref.apply(ev, x, training=False)
+    dv = dec_ref.init(jax.random.PRNGKey(1), *feats, training=False)
+
+    want = dec_ref.apply(dv, *enc_ref.apply(ev, x, training=False),
+                         training=False)
+    with pltpu.force_tpu_interpret_mode():
+        got = dec_f.apply(dv, *enc_f.apply(ev, x, training=False),
+                          training=False)
+
+    for g, w_, name in zip(got, want, ("out0", "out1", "out2", "out3")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w_),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
 def test_fpn_final_bf16_close(rng):
     """bf16 compute path stays within bf16-scale error of the f32 oracle."""
     N, h, w = 1, 8, 128
