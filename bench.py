@@ -274,6 +274,7 @@ def worker(args):
         "fused_band_rows": cfg.fused_band_rows, "warp_rows": _rows,
         "fused_vis": cfg.fused_vis, "fused_fpn": cfg.fused_fpn,
         "fused_fpn_final": cfg.fused_fpn_final,
+        "fused_fpn_l2": cfg.fused_fpn_l2,
         "fused_enc_head": cfg.fused_enc_head,
         "fpn_collapse": cfg.fpn_collapse,
         "smallconv_modes": cfg.smallconv_modes,
@@ -681,6 +682,8 @@ def _merge_parity(rec, args):
         rec["parity"] = {k: prec[k] for k in
                          ("max_diff", "p99_diff", "interior_max_diff",
                           "interior_p99_diff", "conf_max_diff", "unit",
+                          "interior_bin_flips", "interior_bin_flip_frac",
+                          "commit", "date", "knobs",
                           "parity_ok") if k in prec}
         if cached:
             rec["parity"]["cached"] = True

@@ -119,6 +119,11 @@ class ModelConfig:
     # copies); the kernel runs it in ~2.5 ms/frame. Paired with
     # fused_enc_head (the two defaults flip together): 5.67 -> 7.37 dm/s
     # pipelined on v5e. Env: MVSTPU_FPN_FINAL.
+    fused_fpn_l2: bool = True  # FPN level 2 (up2 + inner2 + out2) as the
+    # same fused-level kernel, handing its intra tensor to the final level
+    # kernel in CW form (the full-res NHWC intra2 never exists). Requires
+    # fused_fpn_final. v5e: 7.37 -> 7.58 dm/s pipelined.
+    # Env: MVSTPU_FPN_L2.
     fpn_collapse: bool = False  # collapse the FINAL FPN level: push the out3
     # conv through the 2x resize + 1x1 lateral (ops/fpn_collapse.py) — exact,
     # skips the 64-ch full-res intra tensor. v5e status: cuts the decoder

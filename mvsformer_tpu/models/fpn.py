@@ -131,6 +131,9 @@ class FPNDecoder(nn.Module):
     fused_final: bool = False      # ModelConfig.fused_fpn_final: the final
     # level (up2 + inner3 + out3 conv/BN/swish) as ONE Pallas kernel
     # (ops/pallas/fpn_final.py) — eval/BN/TPU only
+    fused_l2: bool = False         # ModelConfig.fused_fpn_l2: level 2 as the
+    # same kernel, chaining its intra tensor to the final level in CW form
+    # (requires fused_final)
 
     @nn.compact
     def __call__(self, conv01, conv11, conv21, conv31, training: bool = False):
@@ -191,24 +194,17 @@ class FPNDecoder(nn.Module):
         intra = up2(intra) + MatmulConv1x1(final_ch, dtype=self.dtype, name="inner1")(conv21)
         out1 = _OutBlock(ch[2], **kw, name="out1")(intra, training)
 
-        intra = up2(intra) + MatmulConv1x1(final_ch, dtype=self.dtype, name="inner2")(conv11)
-        out2 = _OutBlock(ch[1], **kw, name="out2")(intra, training)
-
-        # Final level: its intra tensor is the only one never consumed
-        # downstream, so the out3 conv is pushed through the resize and the
-        # 1x1 lateral (ops/fpn_collapse.py) — exact, and skips the 64-ch
-        # full-res intra entirely. Params are created by the reference path
-        # during init; the collapsed path reads them from the scope.
-        # The fused encoder head hands the lateral over in (phase, c)-rows
-        # form [N, H, 16, w] (w >= 128 in the last dim distinguishes it from
-        # NHWC's 8 channels); it is only ever produced when the final-level
-        # kernel is on to consume it.
+        # Fused-level gating. The fused encoder head hands the final-level
+        # lateral over in (phase, c)-rows form [N, H, 16, w] (w >= 128 in
+        # the last dim distinguishes it from NHWC's 8 channels); it is only
+        # ever produced when the final-level kernel is on to consume it.
         lat_phased = conv01.shape[-1] >= 128
+        H_full = conv01.shape[1]
         use_final_kernel = (
             self.fused_final
             and not training and self.norm == "BN"
             and not self.is_initializing()
-            and intra.shape[1] * 2 % 8 == 0
+            and H_full % 8 == 0
             and (lat_phased or conv01.shape[2] % 256 == 0)
             and _on_tpu()
         )
@@ -216,17 +212,45 @@ class FPNDecoder(nn.Module):
             raise ValueError(
                 "phase-form lateral from the fused encoder head requires the "
                 "fused final-level kernel (fused_fpn_final)")
-        if use_final_kernel:
-            from mvsformer_tpu.ops.pallas.fpn_final import fpn_final_level
+        use_l2_kernel = (
+            use_final_kernel and self.fused_l2
+            and conv11.shape[-1] == ch[1]
+            and conv11.shape[1] % 8 == 0 and conv11.shape[2] % 256 == 0
+        )
+
+        def _fold(name):
+            p = self.variables["params"][name]["Norm_0"]["BatchNorm_0"]
+            s = self.variables["batch_stats"][name]["Norm_0"]["BatchNorm_0"]
+            inv = jax.lax.rsqrt(s["var"].astype(jnp.float32) + 1e-5)
+            mul = p["scale"].astype(jnp.float32) * inv
+            add = (p["bias"].astype(jnp.float32)
+                   - s["mean"].astype(jnp.float32) * mul)
+            return mul, add
+
+        if use_l2_kernel:
+            # Level 2 as one kernel, handing its intra tensor to the final
+            # level in CW form — the full-res NHWC intra never exists.
+            from mvsformer_tpu.ops.pallas.fpn_final import fpn_level
 
             p = self.variables["params"]
-            bs = self.variables["batch_stats"]
-            bn_p = p["out3"]["Norm_0"]["BatchNorm_0"]
-            bn_s = bs["out3"]["Norm_0"]["BatchNorm_0"]
-            inv = jax.lax.rsqrt(bn_s["var"].astype(jnp.float32) + 1e-5)
-            mul = bn_p["scale"].astype(jnp.float32) * inv
-            add = (bn_p["bias"].astype(jnp.float32)
-                   - bn_s["mean"].astype(jnp.float32) * mul)
+            out2, intra = fpn_level(
+                intra, conv11.astype(self.dtype),
+                p["inner2"]["kernel"], p["inner2"]["bias"],
+                p["out2"]["Conv_0"]["kernel"], p["out2"]["Conv_0"]["bias"],
+                _fold("out2"), emit_intra=True)
+        else:
+            intra = up2(intra) + MatmulConv1x1(final_ch, dtype=self.dtype, name="inner2")(conv11)
+            out2 = _OutBlock(ch[1], **kw, name="out2")(intra, training)
+
+        # Final level: its intra tensor is the only one never consumed
+        # downstream, so the out3 conv is pushed through the resize and the
+        # 1x1 lateral (ops/fpn_collapse.py) — exact, and skips the 64-ch
+        # full-res intra entirely. Params are created by the reference path
+        # during init; the collapsed path reads them from the scope.
+        if use_final_kernel:
+            from mvsformer_tpu.ops.pallas.fpn_final import fpn_level
+
+            p = self.variables["params"]
             # Layout firewall (NHWC lateral only): without the barrier, the
             # kernel operand's row-major phase transpose propagates its
             # layout demand up through conv01 into conv00, flipping both
@@ -238,11 +262,11 @@ class FPNDecoder(nn.Module):
             # encoder convs.
             lat_b = conv01 if lat_phased else jax.lax.optimization_barrier(
                 conv01.astype(self.dtype))
-            out3 = fpn_final_level(
+            out3 = fpn_level(
                 intra, lat_b,
                 p["inner3"]["kernel"], p["inner3"]["bias"],
                 p["out3"]["Conv_0"]["kernel"], p["out3"]["Conv_0"]["bias"],
-                (mul, add))
+                _fold("out3"))
             return out0, out1, out2, out3
 
         if self.collapse_last and not self.is_initializing():

@@ -93,7 +93,8 @@ class TwinMVSNet(nn.Module):
                                       dtype=self.dtype, axis_name=self.axis_name,
                                       use_fused_level=cfg.fused_fpn,
                                       collapse_last=cfg.fpn_collapse,
-                                      fused_final=cfg.fused_fpn_final)
+                                      fused_final=cfg.fused_fpn_final,
+                                      fused_l2=cfg.fused_fpn_l2)
             self.decoder_vit = TwinDecoderStage4(out_ch=cfg.vit_args.out_ch,
                                                  norm=cfg.norm_type, dtype=self.dtype,
                                                  axis_name=self.axis_name)
@@ -254,6 +255,9 @@ def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None,
     env = os.environ.get("MVSTPU_ENC_HEAD")
     if env is not None:
         cfg.fused_enc_head = env == "1"
+    env = os.environ.get("MVSTPU_FPN_L2")
+    if env is not None:
+        cfg.fused_fpn_l2 = env == "1"
     env = os.environ.get("MVSTPU_FPN_COLLAPSE")
     if env is not None:
         cfg.fpn_collapse = env == "1"

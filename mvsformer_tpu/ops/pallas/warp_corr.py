@@ -1055,6 +1055,62 @@ def _kernel_v4(
                         ent_ref[0, r:r + 1] = (m_new + jnp.log(ss)) - tt / ss
 
 
+def v4_window_invalid(px, py, H: int, W: int, band_rows: int = 12,
+                      band_cols: int = 256, row_band: int = 4):
+    """XLA reproduction of the WINDOW component of v4's in-kernel mask.
+
+    The v4 kernel zeroes pixels whose py falls outside the per-(row, x-tile)
+    KR-row window or whose px falls outside the JT-wide x-window (the same
+    block minima the wrapper scalar-prefetches). The training backward
+    (warp_corr_train variant 4) multiplies the incoming cotangent by
+    (1 - invalid) to be the exact adjoint of the masked forward; combined
+    with plane_sweep_coords' frustum mask this reproduces the kernel's `ok`
+    predicate. px/py: [B, D, H, W] f32 (unpadded); returns bool [B, D, H, W].
+    """
+    B, D = px.shape[:2]
+    K = band_rows + max(0, ROWS - 8)
+    JT, KR = band_cols, row_band
+    Hp = -(-H // ROWS) * ROWS
+    Wp = -(-W // XT) * XT
+    HB, NXT = Hp // ROWS, Wp // XT
+
+    def edge_pad(x, target, axis):
+        pad = target - x.shape[axis]
+        if pad <= 0:
+            return x
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (0, pad)
+        return jnp.pad(x, cfg, mode="edge")
+
+    pxp = edge_pad(edge_pad(px, Hp, 2), Wp, 3)
+    pyp = edge_pad(edge_pad(py, Hp, 2), Wp, 3)
+    max_x0 = (W // 128) * 128
+
+    py_blk = pyp.reshape(B, D, HB, ROWS, Wp)
+    y_start = jnp.clip(jnp.floor(py_blk.min(axis=(3, 4))).astype(jnp.int32),
+                       0, H)  # [B, D, HB]
+    px_blk = pxp.reshape(B, D, HB, ROWS, NXT, XT)
+    x_min = jnp.floor(px_blk.min(axis=(3, 5))).astype(jnp.int32)
+    x_start = jnp.clip((x_min // 128) * 128, 0, max_x0)  # [B, D, HB, NXT]
+
+    py_rt = pyp.reshape(B, D, HB, ROWS, NXT, XT).transpose(0, 1, 2, 4, 3, 5)
+    y_row_min = jnp.floor(py_rt.min(axis=-1)).astype(jnp.int32)
+    y_off = jnp.clip(y_row_min - y_start[:, :, :, None, None], 0, K - KR)
+    ywin_lo = (y_start[:, :, :, None, None] + y_off).astype(jnp.float32)
+    # [B, D, HB, NXT, ROWS] -> per-pixel [B, D, HB, ROWS, NXT, XT]
+    ywin_lo = jnp.broadcast_to(
+        ywin_lo.transpose(0, 1, 2, 4, 3)[..., None],
+        (B, D, HB, ROWS, NXT, XT))
+    x0f = jnp.broadcast_to(
+        x_start.astype(jnp.float32)[:, :, :, None, :, None],
+        (B, D, HB, ROWS, NXT, XT))
+    ok = ((px_blk >= x0f) & (px_blk <= x0f + float(JT - 1))
+          & (py_rt.transpose(0, 1, 2, 4, 3, 5) >= ywin_lo)
+          & (py_rt.transpose(0, 1, 2, 4, 3, 5) <= ywin_lo + float(KR - 1)))
+    ok = ok.reshape(B, D, Hp, Wp)[:, :, :H, :W]
+    return ~ok
+
+
 def _union_plan(D, K, C, WSRC, union_extra, itemsize):
     """(KU, DP) for union-band mode, or (0, 0) when it does not apply.
 

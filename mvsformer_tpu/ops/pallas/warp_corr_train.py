@@ -41,16 +41,22 @@ def fused_warp_corr_train(ref_fea, src_fea, src_proj, ref_proj, depth_values,
     # With the XLA-recompute fallback the backward differentiates the
     # UNclipped gather formulation, so v3's extra clips would make fwd/bwd
     # disagree — fall back to the wide-band v2 forward there.
-    # Variant 4's extras (in-kernel invalid mask applied to the output,
-    # streaming entropy) are eval-only; its band/window math is exactly v3's,
-    # and the native backward is the adjoint of that form — train on v3.
-    if variant == 4:
-        variant = 3
+    # Variant 4 (in-kernel coordinates + combined frustum/window mask): the
+    # training forward runs the v4 kernel — no px/py coordinate VOLUMES are
+    # materialized in the train graph, only the block-minima index arrays —
+    # and the backward is the v3 band adjoint applied to the mask-gated
+    # cotangent: v4(x) == v3(x) * ok, so vjp(g) == v3_adjoint(ok * g) with
+    # `ok` reproduced in XLA (plane_sweep_coords frustum mask +
+    # warp_corr.v4_window_invalid). Needs the native backward; with the
+    # XLA-recompute fallback fall back to v2 exactly as v3 does.
+    if variant == 4 and not native_bwd:
+        variant = 2
     if variant == 3 and not native_bwd:
         variant = 2
     kernel = {
         2: warp_corr.plane_sweep_group_corr_v2,
         3: warp_corr.plane_sweep_group_corr_v3,
+        4: warp_corr.plane_sweep_group_corr_v4,
     }.get(variant, warp_corr.plane_sweep_group_corr)
     corr, _ = kernel(ref_fea, src_fea, src_proj, ref_proj, depth_values,
                      groups=groups, band_rows=band_rows, want_invalid=False)
@@ -73,13 +79,31 @@ def _bwd(groups, band_rows, variant, native_bwd, residuals, dcorr):
             plane_sweep_group_corr_bwd,
         )
 
-        # variant 3 forward ran per-row KR=4 windows (the v3 default) —
-        # the backward must use the same windows to be its exact adjoint.
+        if variant == 4:
+            # v4 fwd == v3 fwd * ok; adjoint = v3 adjoint of the gated
+            # cotangent. Reproduce the kernel's `ok` in XLA (stop-gradient
+            # coordinate math, same as the wrapper's scalar prefetch).
+            B = ref_fea.shape[0]
+            H, W = ref_fea.shape[1], ref_fea.shape[2]
+            dv32 = jax.lax.stop_gradient(depth_values.astype(jnp.float32))
+            px, py, frustum = geometry.plane_sweep_coords(
+                src_proj.astype(jnp.float32), ref_proj.astype(jnp.float32),
+                dv32, H, W)
+            px = jax.lax.stop_gradient(px).reshape(B, -1, H, W)
+            py = jax.lax.stop_gradient(py).reshape(B, -1, H, W)
+            win = warp_corr.v4_window_invalid(
+                px, py, H, W, band_rows=band_rows)
+            ok = jnp.logical_not(
+                frustum.reshape(B, -1, H, W) | win).astype(dcorr.dtype)
+            dcorr = dcorr * ok[..., None]
+
+        # variant 3/4 forwards ran per-row KR=4 windows — the backward must
+        # use the same windows to be their exact adjoint.
         dref, dsrc = plane_sweep_group_corr_bwd(
             ref_fea, src_fea, src_proj.astype(jnp.float32),
             ref_proj.astype(jnp.float32), depth_values, dcorr,
             groups=groups, band_rows=band_rows,
-            row_band=4 if variant == 3 else None)
+            row_band=4 if variant in (3, 4) else None)
     else:
         def xla_path(ref, src):
             warped, _ = geometry.homo_warp(

@@ -54,6 +54,56 @@ def test_fpn_final_matches_reference_chain(rng):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
+def test_fpn_level2_chain_matches_reference(rng):
+    """Generalized level (cl=16, co=16) with emit_intra: the chained
+    level-2 -> level-3 kernel pair must reproduce the XLA two-level chain."""
+    from mvsformer_tpu.ops.pallas.fpn_final import fpn_level
+
+    N, h1, w1_ = 1, 8, 128  # level-2 input res; out2 16x256, final 32x512
+    intra1 = jnp.asarray(rng.standard_normal((N, h1, w1_, 64)), jnp.float32)
+    lat2 = jnp.asarray(
+        rng.standard_normal((N, 2 * h1, 2 * w1_, 16)), jnp.float32)
+    lat3 = jnp.asarray(
+        rng.standard_normal((N, 4 * h1, 4 * w1_, 8)), jnp.float32)
+
+    def params(cl, co):
+        return (
+            jnp.asarray(rng.standard_normal((1, 1, cl, 64)) * 0.3, jnp.float32),
+            jnp.asarray(rng.standard_normal((64,)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((3, 3, 64, co)) * 0.1, jnp.float32),
+            jnp.asarray(rng.standard_normal((co,)) * 0.1, jnp.float32),
+            (jnp.asarray(rng.uniform(0.5, 1.5, (co,)), jnp.float32),
+             jnp.asarray(rng.standard_normal((co,)) * 0.1, jnp.float32)),
+        )
+
+    p2 = params(16, 16)
+    p3 = params(8, 8)
+
+    # XLA reference chain
+    def level_ref(intra_prev, lateral, w1, b1, k3, b3, bn):
+        up = resize_bilinear(
+            intra_prev, (2 * intra_prev.shape[1], 2 * intra_prev.shape[2]),
+            spatial_axes=(1, 2), align_corners=True)
+        intra = up + (lateral @ w1[0, 0] + b1)
+        pre = jax.lax.conv_general_dilated(
+            intra, k3, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b3
+        y = pre * bn[0] + bn[1]
+        return y * jax.nn.sigmoid(y), intra
+
+    out2_want, intra2 = level_ref(intra1, lat2, *p2)
+    out3_want, _ = level_ref(intra2, lat3, *p3)
+
+    with pltpu.force_tpu_interpret_mode():
+        out2_got, intra_cw = fpn_level(intra1, lat2, *p2, emit_intra=True)
+        out3_got = fpn_level(intra_cw, lat3, *p3)
+
+    np.testing.assert_allclose(np.asarray(out2_got), np.asarray(out2_want),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out3_got), np.asarray(out3_want),
+                               rtol=5e-4, atol=5e-4)
+
+
 def test_encoder_decoder_fused_chain_matches_flax(rng, monkeypatch):
     """FPNEncoder(fused_head) + FPNDecoder(fused_final) must reproduce the
     flax reference chain end-to-end (eval, folded BN, shared params)."""

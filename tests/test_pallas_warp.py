@@ -651,6 +651,73 @@ def test_v4_mv_matches_per_view(rng, pixelwise):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_v4_window_invalid_matches_kernel_mask(rng):
+    """warp_corr.v4_window_invalid + the frustum mask must reproduce the
+    mask the v3/v4 kernels use (v3's want_invalid output) — the v4 training
+    backward gates the cotangent with it."""
+    H, W, D, C = 48, 128, 4, 8
+    B, G = 1, 8
+    ref = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    src = rng.standard_normal((B, H, W, C), dtype=np.float32)
+    src_proj, ref_proj = random_cameras(rng, B)
+    dv = np.broadcast_to(
+        np.linspace(400, 900, D, dtype=np.float32)[None, :, None, None],
+        (B, D, H, W)).copy()
+    dv += rng.uniform(-2, 2, dv.shape).astype(np.float32)
+
+    with pltpu.force_tpu_interpret_mode():
+        _, invalid3 = warp_corr.plane_sweep_group_corr_v3(
+            jnp.asarray(ref), jnp.asarray(src), jnp.asarray(src_proj),
+            jnp.asarray(ref_proj), jnp.asarray(dv), groups=G,
+            band_rows=16, band_cols=256, row_band=4, want_invalid=True)
+
+    px, py, frustum = geometry.plane_sweep_coords(
+        jnp.asarray(src_proj), jnp.asarray(ref_proj), jnp.asarray(dv), H, W)
+    win = warp_corr.v4_window_invalid(
+        jnp.asarray(px).reshape(B, D, H, W),
+        jnp.asarray(py).reshape(B, D, H, W), H, W, band_rows=16)
+    got = np.asarray(frustum.reshape(B, D, H, W) | win)
+    np.testing.assert_array_equal(got, np.asarray(invalid3) > 0.5)
+
+
+def test_fused_train_warp_v4_native_bwd_is_exact_adjoint(rng):
+    """variant=4 training pair: corr is bilinear in (ref, src), so
+    J_ref u == F(u, src) and J_src u == F(ref, u) exactly; the custom
+    backward must satisfy <g, F(u, src)> == <u, dref(g)> (and likewise for
+    src) — adjointness of the masked-forward/gated-v3-adjoint pair."""
+    from mvsformer_tpu.ops.pallas.warp_corr_train import fused_warp_corr_train
+
+    H, W, D, C, G = 24, 128, 3, 8, 8
+    B = 1
+    ref = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    src = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    u_ref = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    u_src = jnp.asarray(rng.standard_normal((B, H, W, C), dtype=np.float32))
+    src_proj, ref_proj = random_cameras(rng, B)
+    dv = jnp.asarray(np.broadcast_to(
+        np.linspace(400, 900, D, dtype=np.float32)[None, :, None, None],
+        (B, D, H, W)).copy())
+
+    def f(r, s):
+        return fused_warp_corr_train(r, s, jnp.asarray(src_proj),
+                                     jnp.asarray(ref_proj), dv, G, 16, 4,
+                                     True)
+
+    with pltpu.force_tpu_interpret_mode():
+        out, vjp = jax.vjp(f, ref, src)
+        g = jnp.asarray(rng.standard_normal(out.shape), jnp.float32)
+        dref, dsrc = vjp(g)
+        jvp_ref = f(u_ref, src)   # bilinearity: J_ref u == F(u, src)
+        jvp_src = f(ref, u_src)
+
+    lhs_r = float(jnp.vdot(g, jvp_ref))
+    rhs_r = float(jnp.vdot(u_ref, dref))
+    lhs_s = float(jnp.vdot(g, jvp_src))
+    rhs_s = float(jnp.vdot(u_src, dsrc))
+    assert abs(lhs_r - rhs_r) < 1e-3 * max(1.0, abs(lhs_r)), (lhs_r, rhs_r)
+    assert abs(lhs_s - rhs_s) < 1e-3 * max(1.0, abs(lhs_s)), (lhs_s, rhs_s)
+
+
 @pytest.mark.parametrize("mv", [False, True])
 def test_v4_union_band_matches_per_plane(rng, mv):
     """union_extra: one KU-row union band per depth-group must reproduce the
