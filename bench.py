@@ -153,6 +153,7 @@ def worker(args):
 
         from mvsformer_tpu.ops import losses as losses_lib
 
+        rng = np.random.default_rng(0)
         gt, mask = {}, {}
         for i, scale in enumerate((8, 4, 2, 1)):
             h, w = H // scale, W // scale
@@ -276,6 +277,7 @@ def worker(args):
         "fused_fpn_final": cfg.fused_fpn_final,
         "fused_fpn_l2": cfg.fused_fpn_l2,
         "fused_enc_head": cfg.fused_enc_head,
+        "fused_stage_tail": cfg.fused_stage_tail,
         "fpn_collapse": cfg.fpn_collapse,
         "smallconv_modes": cfg.smallconv_modes,
         "smallconv_s1cap": cfg.smallconv_s1cap,

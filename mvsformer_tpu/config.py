@@ -119,6 +119,12 @@ class ModelConfig:
     # copies); the kernel runs it in ~2.5 ms/frame. Paired with
     # fused_enc_head (the two defaults flip together): 5.67 -> 7.37 dm/s
     # pipelined on v5e. Env: MVSTPU_FPN_FINAL.
+    fused_stage_tail: bool = False  # eval ce/was depth decode (softmax +
+    # temperature regression + max-prob confidence) as one Pallas pass over
+    # the [B,D,H,W] logit volume (ops/pallas/stage_tail.py). The round-4
+    # verdict's prescribed kernel; the round-5 reattribution showed the
+    # decode is already well-fused by XLA, so this is a small win at best —
+    # kept behind a knob with its measured frame delta. Env: MVSTPU_TAIL.
     fused_fpn_l2: bool = True  # FPN level 2 (up2 + inner2 + out2) as the
     # same fused-level kernel, handing its intra tensor to the final level
     # kernel in CW form (the full-res NHWC intra2 never exists). Requires

@@ -185,7 +185,10 @@ class DINOMVSNet(nn.Module):
     def setup(self):
         cfg = self.cfg
         self.encoder = FPNEncoder(feat_chs=tuple(cfg.feat_chs), norm=cfg.norm_type,
-                                  dtype=self.dtype, axis_name=self.axis_name)
+                                  dtype=self.dtype, axis_name=self.axis_name,
+                                  fused_head=(cfg.fused_enc_head
+                                              and cfg.fused_fpn_final
+                                              and not cfg.multi_scale))
         va = cfg.vit_args
         vit_ch = va.vit_ch if isinstance(va.vit_ch, int) else 384
         if cfg.multi_scale:
@@ -195,7 +198,9 @@ class DINOMVSNet(nn.Module):
             self.decoder = FPNDecoder(feat_chs=tuple(cfg.feat_chs), norm=cfg.norm_type,
                                       dtype=self.dtype, axis_name=self.axis_name,
                                       use_fused_level=cfg.fused_fpn,
-                                      collapse_last=cfg.fpn_collapse)
+                                      collapse_last=cfg.fpn_collapse,
+                                      fused_final=cfg.fused_fpn_final,
+                                      fused_l2=cfg.fused_fpn_l2)
         if not va.att_fusion:
             self.decoder_vit = VITDecoderStage4NoAtt(out_ch=va.out_ch, vit_ch=vit_ch,
                                                      norm=cfg.norm_type, dtype=self.dtype,
@@ -226,6 +231,7 @@ class DINOMVSNet(nn.Module):
                 fused_vis=cfg.fused_vis,
                 mv_fused=cfg.mv_fused,
                 union_extra=cfg.warp_union_extra,
+                fused_tail=cfg.fused_stage_tail and fused_ok(),
                 corr_bf16=cfg.corr_bf16,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",

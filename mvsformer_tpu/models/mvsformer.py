@@ -123,6 +123,7 @@ class TwinMVSNet(nn.Module):
                 fused_vis=cfg.fused_vis,
                 mv_fused=cfg.mv_fused,
                 union_extra=cfg.warp_union_extra,
+                fused_tail=cfg.fused_stage_tail and fused_ok(),
                 corr_bf16=cfg.corr_bf16,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",
@@ -258,6 +259,9 @@ def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None,
     env = os.environ.get("MVSTPU_FPN_L2")
     if env is not None:
         cfg.fused_fpn_l2 = env == "1"
+    env = os.environ.get("MVSTPU_TAIL")
+    if env is not None:
+        cfg.fused_stage_tail = env == "1"
     env = os.environ.get("MVSTPU_FPN_COLLAPSE")
     if env is not None:
         cfg.fpn_collapse = env == "1"

@@ -111,6 +111,9 @@ class StageNet(nn.Module):
     mv_fused: bool = True  # all-views-in-one-pallas-call path (v4+cnn eval);
     # False falls back to the per-view kernel loop (A/B + tests)
     union_extra: int = -1  # ModelConfig.warp_union_extra (v4 union-band DMA)
+    fused_tail: bool = False  # ModelConfig.fused_stage_tail: eval ce/was
+    # depth decode (softmax + temperature regression + confidence) as one
+    # Pallas pass over the logit volume (ops/pallas/stage_tail.py)
     corr_bf16: bool = False  # store per-view correlation volumes in bf16 on
     # the fused eval path (f32 in-kernel accumulation, one rounding at the
     # store; the weighted view sum still accumulates in f32). Halves the HBM
@@ -333,8 +336,16 @@ class StageNet(nn.Module):
         logits = logits.astype(jnp.float32)
         prob = jax.nn.softmax(logits, axis=1)
 
-        depth, conf = regression.decode_depth(
-            logits, prob, dv32, self.depth_type, self.ndepth, training, tmp)
+        if (self.fused_tail and not training
+                and self.depth_type in ("ce", "was")):
+            from mvsformer_tpu.ops.pallas.stage_tail import fused_depth_decode
+
+            depth, conf = fused_depth_decode(logits, dv32, tmp)
+            conf = jax.lax.stop_gradient(conf)
+        else:
+            depth, conf = regression.decode_depth(
+                logits, prob, dv32, self.depth_type, self.ndepth, training,
+                tmp)
 
         out = {
             "depth": depth,
