@@ -733,7 +733,7 @@ def orchestrate(args):
         for timeout in (args.timeout, args.timeout // 2):
             rec = _run_worker(variant, timeout, train=train, profile=profile,
                               batch=args.batch, corr_bf16=args.corr_bf16,
-                              fail_info=fail_info)
+                              shape=args.shape, fail_info=fail_info)
             if rec:
                 return rec
             if fail_info.get("error_kind") == "product":

@@ -52,8 +52,11 @@ class ModelConfig:
     norm_type: str = "BN"  # BN | GN — GN avoids cross-replica stat sync on TPU
     use_fused_warp: bool = True  # Pallas warp+corr kernel on the eval path
     fused_band_rows: int = 12  # y-band height K (>= warp_rows+1+epipolar tilt)
-    warp_rows: int = 8  # kernel output rows per grid step (sublane block;
-    # ops/pallas/warp_corr.py ROWS). Env: MVSTPU_WARP_ROWS.
+    warp_rows: int = 16  # kernel output rows per grid step (sublane block;
+    # ops/pallas/warp_corr.py ROWS). Env: MVSTPU_WARP_ROWS. Round-5: after
+    # the union-band cut the v4 kernels are grid-step-overhead-leaning
+    # (stage4 runs ~7k steps/frame at rows=8); rows=16 halves the steps:
+    # 7.58 -> 7.76 dm/s pipelined (rows=32 within noise, worse serial).
     clamp_eth3d: bool = False  # ETH3D clamped inverse-depth schedulers
     remat_backbone: bool = False  # jax.checkpoint the ViT (train-memory valve)
     eval_view_chunk: int = 0  # >0: eval backbone processes views in chunks of
@@ -119,12 +122,12 @@ class ModelConfig:
     # copies); the kernel runs it in ~2.5 ms/frame. Paired with
     # fused_enc_head (the two defaults flip together): 5.67 -> 7.37 dm/s
     # pipelined on v5e. Env: MVSTPU_FPN_FINAL.
-    fused_stage_tail: bool = False  # eval ce/was depth decode (softmax +
+    fused_stage_tail: bool = True  # eval ce/was depth decode (softmax +
     # temperature regression + max-prob confidence) as one Pallas pass over
     # the [B,D,H,W] logit volume (ops/pallas/stage_tail.py). The round-4
     # verdict's prescribed kernel; the round-5 reattribution showed the
-    # decode is already well-fused by XLA, so this is a small win at best —
-    # kept behind a knob with its measured frame delta. Env: MVSTPU_TAIL.
+    # decode is already well-fused by XLA, so the win is small but real:
+    # 7.58 -> 7.65 dm/s pipelined on v5e. Env: MVSTPU_TAIL.
     fused_fpn_l2: bool = True  # FPN level 2 (up2 + inner2 + out2) as the
     # same fused-level kernel, handing its intra tensor to the final level
     # kernel in CW form (the full-res NHWC intra2 never exists). Requires

@@ -55,14 +55,17 @@ def test_warp_rows_applied_at_build():
     #8: the last env knob outside config)."""
     from mvsformer_tpu.ops.pallas import warp_corr
 
+    from mvsformer_tpu.config import ModelConfig
+
+    default_rows = ModelConfig().warp_rows
     prev = warp_corr.ROWS
     try:
-        build_model(_tiny_cfg(warp_rows=16))
-        assert warp_corr.ROWS == 16
+        build_model(_tiny_cfg(warp_rows=default_rows * 2))
+        assert warp_corr.ROWS == default_rows * 2
     finally:
         warp_corr.ROWS = prev
         build_model(_tiny_cfg())
-        assert warp_corr.ROWS == 8
+        assert warp_corr.ROWS == default_rows
 
 
 def test_smallconv_on_off_numerics_identical():
