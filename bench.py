@@ -287,6 +287,8 @@ def worker(args):
         "corr_bf16": cfg.corr_bf16,
         "fused_train_warp": cfg.fused_train_warp if args.train else None,
         "fused_native_bwd": cfg.fused_native_bwd if args.train else None,
+        "packed_train_costreg": (cfg.packed_train_costreg
+                                 if args.train else None),
         "remat_backbone": cfg.remat_backbone,
         "eval_view_chunk": cfg.eval_view_chunk,
     }
@@ -591,7 +593,8 @@ def _is_oom(stderr_tail: str) -> bool:
 
 def _run_worker(variant, timeout, platform_env=None, train=False, profile=None,
                 bf16_band=False, batch=1, shape=None, remat=False,
-                view_chunk=0, parity=False, corr_bf16=False, fail_info=None):
+                view_chunk=0, parity=False, corr_bf16=False, fail_info=None,
+                extra_env=None):
     """Run one worker subprocess; return parsed JSON record or None.
 
     fail_info: optional dict that receives {"error_kind", "stderr_tail"} when
@@ -616,6 +619,8 @@ def _run_worker(variant, timeout, platform_env=None, train=False, profile=None,
     if profile:
         cmd += ["--profile", profile]
     env = dict(os.environ)
+    if extra_env:
+        env.update(extra_env)
     if platform_env is not None:
         cmd += ["--platform", platform_env]
         env["JAX_PLATFORMS"] = platform_env
@@ -777,6 +782,9 @@ def orchestrate(args):
               timeout=args.timeout, corr_bf16=True)
         sweep("train_v4_kbwd", "train v4+kbwd", variant="v4",
               timeout=args.timeout, train=True)
+        sweep("train_v4_unpacked", "train v4 (flax cost-reg)", variant="v4",
+              timeout=args.timeout, train=True,
+              extra_env={"MVSTPU_PACKED_TRAIN": "0"})
         sweep("train_xla", "train xla", variant="xla", timeout=args.timeout,
               train=True)
         sweep("train_fused_kbwd", "train fused+kbwd", variant="v1",
@@ -789,11 +797,11 @@ def orchestrate(args):
         # shapes. An HBM OOM retries once with the remat_backbone valve and
         # records which configuration produced the number.
         for hs, ws in ((896, 1152), (1024, 1280)):
-            key = f"train_v3_{hs}x{ws}"
-            rec = sweep(key, f"train v3 {hs}x{ws}", variant="v3",
+            key = f"train_v4_{hs}x{ws}"
+            rec = sweep(key, f"train v4 {hs}x{ws}", variant="v4",
                         timeout=args.timeout, train=True, shape=f"{hs}x{ws}")
             if rec and "error" in rec and _is_oom(rec.get("stderr_tail", "")):
-                sweep(key, f"train v3 {hs}x{ws} +remat", variant="v3",
+                sweep(key, f"train v4 {hs}x{ws} +remat", variant="v4",
                       timeout=args.timeout, train=True, shape=f"{hs}x{ws}",
                       remat=True)
         # Batched eval of the best single-map variant: amortizes dispatch and

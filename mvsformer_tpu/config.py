@@ -146,6 +146,14 @@ class ModelConfig:
     smallconv_s1cap: int = 144  # taps*features cap for stride-1 routing
     # (beyond it the materialized taps*C z-traffic exceeds the layout win).
     # Env: MVSTPU_SMALLCONV_S1CAP.
+    packed_train_costreg: bool = True  # run the TRAIN-mode cost-reg U-Nets
+    # depth-packed too (models/costreg.py _packed with real BatchNorm stats
+    # computed in packed [B,H,W,D*C] space): the round-5 train trace's top
+    # buckets were the tiny-channel NDHWC conv3d forward+backward fusions the
+    # eval packing already cured. BN semantics identical to the flax path
+    # (parity-tested incl. running stats, SyncBN pmean, and grads).
+    # v5e 512x640 5v mb1: 4.14 -> 5.58 train-steps/s (+35%).
+    # Env: MVSTPU_PACKED_TRAIN.
     vit_args: ViTConfig = field(default_factory=ViTConfig)
 
 

@@ -22,6 +22,38 @@ from mvsformer_tpu.ops.smallconv import SmallConv
 Dtype = Any
 
 
+def _packed_bn_train(y, bn_p, bn_s, d_out, dt, axis_name):
+    """Train-mode BatchNorm over the packed [B, H, W, d*C] layout.
+
+    Per-channel stats (the reference BatchNorm3d reduces over B, D, H, W per
+    C — module.py:469-594) are computed WITHOUT unpacking: the packed axis is
+    (d, C) row-major, so a free reshape view exposes C for an fp32 reduce.
+    Mirrors flax nn.BatchNorm train mode exactly: fp32 moments (pmean-synced
+    over `axis_name` when given), biased variance clamped at 0, running
+    stats updated with momentum 0.9, normalization applied in the compute
+    dtype. Returns (relu(normalized), new_running_stats)."""
+    import jax
+
+    b, h, w, dc = y.shape
+    c = dc // d_out
+    y5 = y.reshape(b, h, w, d_out, c)
+    y32 = y5.astype(jnp.float32)
+    mu = jnp.mean(y32, axis=(0, 1, 2, 3))
+    mu2 = jnp.mean(jnp.square(y32), axis=(0, 1, 2, 3))
+    if axis_name is not None:
+        mu, mu2 = jax.lax.pmean((mu, mu2), axis_name)
+    var = jnp.maximum(mu2 - jnp.square(mu), 0.0)
+    mom = 0.9
+    new_stats = {
+        "mean": mom * bn_s["mean"].astype(jnp.float32) + (1 - mom) * mu,
+        "var": mom * bn_s["var"].astype(jnp.float32) + (1 - mom) * var,
+    }
+    mul = jax.lax.rsqrt(var.astype(dt) + jnp.asarray(1e-5, dt))
+    mul = mul * bn_p["scale"].astype(dt)
+    yn = (y5.astype(dt) - mu.astype(dt)) * mul + bn_p["bias"].astype(dt)
+    return jnp.maximum(yn.reshape(b, h, w, dc), 0), new_stats
+
+
 class CostRegNet(nn.Module):
     """Full 3D U-Net, stride 2 in (D, H, W)."""
 
@@ -30,12 +62,15 @@ class CostRegNet(nn.Module):
     norm: str = "BN"
     dtype: Dtype = jnp.bfloat16
     axis_name: str | None = None
+    packed_train: bool = False
 
-    def _packed_eval(self, x):
-        """Depth-packed inference (see CostRegNet3D._packed_eval /
-        ops/packed3d.py). Here the depth axis is ALSO strided: the packed
-        kernels carry the D-stride as block-band structure (sd=2 down,
-        transposed sd=2 up). Requires D % 8 == 0 (three 2x depth levels)."""
+    def _packed(self, x, training=False):
+        """Depth-packed forward (see CostRegNet3D._packed / ops/packed3d.py).
+        Here the depth axis is ALSO strided: the packed kernels carry the
+        D-stride as block-band structure (sd=2 down, transposed sd=2 up).
+        Requires D % 8 == 0 (three 2x depth levels). training=True keeps
+        real BatchNorm semantics (stats computed in packed space,
+        running-stat updates written back) instead of the folded affine."""
         import jax
 
         from mvsformer_tpu.ops import packed3d as pk
@@ -45,6 +80,7 @@ class CostRegNet(nn.Module):
         p = self.variables["params"]
         bs = self.variables.get("batch_stats", {})
         dt = self.dtype
+        new_stats = {}
         xp = pk.pack_volume(x).astype(dt)
 
         def fold(name, d_out):
@@ -57,6 +93,16 @@ class CostRegNet(nn.Module):
             return jnp.tile(mul, d_out).astype(dt), \
                 jnp.tile(add, d_out).astype(dt)
 
+        def norm_act(y, name, d_out):
+            if not training:
+                mul, add = fold(name, d_out)
+                return jnp.maximum(y * mul + add, 0)
+            yn, ns = _packed_bn_train(
+                y, p[name]["Norm_0"]["BatchNorm_0"],
+                bs[name]["Norm_0"]["BatchNorm_0"], d_out, dt, self.axis_name)
+            new_stats[name] = {"Norm_0": {"BatchNorm_0": ns}}
+            return yn
+
         def conv(xx, name, d_in, sd, s2):
             k2 = pk.pack_conv3d_kernel(
                 p[name]["Conv_0"]["kernel"].astype(dt), d_in, sd=sd, pd=1)
@@ -64,8 +110,7 @@ class CostRegNet(nn.Module):
             y = jax.lax.conv_general_dilated(
                 xx, k2, (s2, s2), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            mul, add = fold(name, d_out)
-            return jnp.maximum(y * mul + add, 0), d_out
+            return norm_act(y, name, d_out), d_out
 
         def deconv(xx, name, d_in):
             # torch ConvTranspose3d(k3, s2, p1, op=1): flax pad (1, 2)/axis.
@@ -75,8 +120,7 @@ class CostRegNet(nn.Module):
             y = jax.lax.conv_transpose(
                 xx, k2, (2, 2), ((1, 2), (1, 2)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            mul, add = fold(name, 2 * d_in)
-            return jnp.maximum(y * mul + add, 0)
+            return norm_act(y, name, 2 * d_in)
 
         y, d1 = conv(xp, "conv1", D, 2, 2)
         c2, _ = conv(y, "conv2", d1, 1, 1)
@@ -99,14 +143,17 @@ class CostRegNet(nn.Module):
             up = jax.lax.conv_general_dilated(
                 up, kp, (1, 1), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            return pk.unpack_volume(up, D)
+        if training and new_stats:
+            for name, tree in new_stats.items():
+                self.put_variable("batch_stats", name, tree)
         return pk.unpack_volume(up, D)
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        if (not training and self.norm == "BN" and x.shape[1] % 8 == 0
+        if (self.norm == "BN" and x.shape[1] % 8 == 0
+                and (not training or self.packed_train)
                 and not self.is_initializing()):
-            return self._packed_eval(x)
+            return self._packed(x, training)
         c = self.base_ch
         kw = dict(norm=self.norm, dtype=self.dtype, axis_name=self.axis_name)
         conv0 = x
@@ -138,12 +185,15 @@ class CostRegNet3D(nn.Module):
     norm: str = "BN"
     dtype: Dtype = jnp.bfloat16
     axis_name: str | None = None
+    packed_train: bool = False
 
-    def _packed_eval(self, x):
-        """Depth-packed inference: every 3D conv/deconv as a 2D conv over
+    def _packed(self, x, training=False):
+        """Depth-packed forward: every 3D conv/deconv as a 2D conv over
         [B, H, W, D*C] (see ops/packed3d.py — the tiny-channel 3D convs cost
-        ~25 ms/frame at the eval shape). Exact; reads the SAME param tree the
-        flax path trains."""
+        ~25 ms/frame at the eval shape; their channel-minor backward fusions
+        dominate the round-5 train trace). Exact; reads the SAME param tree
+        the flax path declares. training=True keeps real BatchNorm semantics
+        via _packed_bn_train."""
         import jax
 
         from mvsformer_tpu.ops import packed3d as pk
@@ -153,6 +203,7 @@ class CostRegNet3D(nn.Module):
         p = self.variables["params"]
         bs = self.variables.get("batch_stats", {})
         dt = self.dtype
+        new_stats = {}
         xp = pk.pack_volume(x).astype(dt)
 
         def fold(name, d_out):
@@ -165,14 +216,23 @@ class CostRegNet3D(nn.Module):
             return jnp.tile(mul, d_out).astype(dt), \
                 jnp.tile(add, d_out).astype(dt)
 
+        def norm_act(y, name):
+            if not training:
+                mul, add = fold(name, D)
+                return jnp.maximum(y * mul + add, 0)
+            yn, ns = _packed_bn_train(
+                y, p[name]["Norm_0"]["BatchNorm_0"],
+                bs[name]["Norm_0"]["BatchNorm_0"], D, dt, self.axis_name)
+            new_stats[name] = {"Norm_0": {"BatchNorm_0": ns}}
+            return yn
+
         def conv(xx, name, stride):
             k2 = pk.pack_conv3d_kernel(
                 p[name]["Conv_0"]["kernel"].astype(dt), D, sd=1, pd=1)
             y = jax.lax.conv_general_dilated(
                 xx, k2, (stride, stride), ((1, 1), (1, 1)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            mul, add = fold(name, D)
-            return jnp.maximum(y * mul + add, 0)
+            return norm_act(y, name)
 
         def deconv(xx, name):
             k2 = pk.pack_deconv3d_kernel(
@@ -181,8 +241,7 @@ class CostRegNet3D(nn.Module):
             y = jax.lax.conv_transpose(
                 xx, k2, (2, 2), ((1, 2), (1, 2)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            mul, add = fold(name, D)
-            return jnp.maximum(y * mul + add, 0)
+            return norm_act(y, name)
 
         c2 = conv(conv(xp, "conv1", 2), "conv2", 1)
         c4 = conv(conv(c2, "conv3", 2), "conv4", 1)
@@ -199,13 +258,16 @@ class CostRegNet3D(nn.Module):
         kp = pk.pack_conv3d_kernel(
             p["prob"]["kernel"].astype(dt), D, sd=1, pd=0)
         prob = up @ kp[0, 0] + jnp.tile(p["prob"]["bias"], D).astype(dt)
+        if training and new_stats:
+            for name, tree in new_stats.items():
+                self.put_variable("batch_stats", name, tree)
         return pk.unpack_volume(prob, D)  # [B, D, H, W, 1]
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        if (not training and self.norm == "BN"
+        if (self.norm == "BN" and (not training or self.packed_train)
                 and not self.is_initializing()):
-            return self._packed_eval(x)
+            return self._packed(x, training)
         c = self.base_ch
         s = (1, 2, 2)
         kw = dict(norm=self.norm, dtype=self.dtype, axis_name=self.axis_name)

@@ -233,6 +233,7 @@ class DINOMVSNet(nn.Module):
                 union_extra=cfg.warp_union_extra,
                 fused_tail=cfg.fused_stage_tail and fused_ok(),
                 corr_bf16=cfg.corr_bf16,
+                packed_train=cfg.packed_train_costreg,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",
             )

@@ -125,6 +125,7 @@ class TwinMVSNet(nn.Module):
                 union_extra=cfg.warp_union_extra,
                 fused_tail=cfg.fused_stage_tail and fused_ok(),
                 corr_bf16=cfg.corr_bf16,
+                packed_train=cfg.packed_train_costreg,
                 depth_sharding=self.depth_sharding,
                 name=f"stage{i + 1}",
             )
@@ -265,6 +266,9 @@ def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None,
     env = os.environ.get("MVSTPU_FPN_COLLAPSE")
     if env is not None:
         cfg.fpn_collapse = env == "1"
+    env = os.environ.get("MVSTPU_PACKED_TRAIN")
+    if env is not None:
+        cfg.packed_train_costreg = env == "1"
     if cfg.model_type == "twin":
         return TwinMVSNet(cfg, dtype=dtype, axis_name=axis_name,
                           view_axis=view_axis, depth_sharding=depth_sharding)

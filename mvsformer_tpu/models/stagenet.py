@@ -118,6 +118,8 @@ class StageNet(nn.Module):
     # the fused eval path (f32 in-kernel accumulation, one rounding at the
     # store; the weighted view sum still accumulates in f32). Halves the HBM
     # footprint/traffic of the largest eval buffers. ModelConfig.corr_bf16.
+    packed_train: bool = False  # ModelConfig.packed_train_costreg: depth-pack
+    # the TRAIN-mode cost-reg U-Nets too (real BN stats in packed space)
     # Optional NamedSharding for depth-hypothesis-slab sharding of the cost
     # volume over the mesh's "depth" axis. The constraint makes GSPMD shard
     # the 3D cost-regularization U-Net along D (halo exchanges for the 3x3x3
@@ -328,10 +330,12 @@ class StageNet(nn.Module):
                                axis_name=self.axis_name, name="cost_reg")
         elif self.fusion_type == "epipoleV2" or self.ndepth <= self.model_th:
             reg = CostRegNet3D(self.base_ch, norm=self.norm, dtype=self.dtype,
-                               axis_name=self.axis_name, name="cost_reg")
+                               axis_name=self.axis_name,
+                               packed_train=self.packed_train, name="cost_reg")
         else:
             reg = CostRegNet(self.base_ch, norm=self.norm, dtype=self.dtype,
-                             axis_name=self.axis_name, name="cost_reg")
+                             axis_name=self.axis_name,
+                             packed_train=self.packed_train, name="cost_reg")
         logits = reg(volume_mean.astype(self.dtype), training)[..., 0]  # [B,D,H,W]
         logits = logits.astype(jnp.float32)
         prob = jax.nn.softmax(logits, axis=1)

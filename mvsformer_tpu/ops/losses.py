@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from mvsformer_tpu.ops import regression
+
 Array = jax.Array
 
 STAGE_KEYS = ("stage1", "stage2", "stage3", "stage4")
@@ -55,16 +57,19 @@ def _range_and_bins(depth_values: Array, depth_gt: Array, inverse_depth: bool):
 
 
 def masked_cross_entropy(logits: Array, labels: Array, mask: Array) -> Array:
-    """CE over depth axis 1 of [B,D,H,W] logits, mask-weighted mean."""
+    """CE over depth axis 1 of [B,D,H,W] logits, mask-weighted mean.
+
+    Bin selection via the one-hot multiply-reduce (regression.select_bin):
+    no gather in the forward, no scatter in the backward."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
-    nll = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    nll = -regression.select_bin(logp, labels)
     return _masked_mean(nll, mask)
 
 
 def focal_ce(logits: Array, labels: Array, mask: Array, gamma: float) -> Array:
     """Focal variant (losses.py:292-301); mask-weighted mean over pixels."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=1)
-    logp_t = jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    logp_t = regression.select_bin(logp, labels)
     p_t = jnp.exp(logp_t)
     loss = -((1.0 - p_t) ** gamma) * logp_t
     return _masked_mean(loss, mask)
@@ -137,16 +142,16 @@ def mixup_ce_loss_stages(
         gt_index = (depth_values[:, 1:] <= gt).astype(jnp.float32).sum(axis=1)
         gt_index = jnp.clip(gt_index, 0, D - 2).astype(jnp.int32)
 
-        gt_left = jnp.take_along_axis(depth_values[:, :-1], gt_index[:, None], axis=1)
+        gt_left = regression.select_bin(depth_values[:, :-1], gt_index)[:, None]
         intervals = jnp.abs(depth_values[:, 1:] - depth_values[:, :-1])
-        itv = jnp.take_along_axis(intervals, gt_index[:, None], axis=1)
+        itv = regression.select_bin(intervals, gt_index)[:, None]
         w_left = jnp.clip(jnp.abs(gt - gt_left) / itv, 0.0, 1.0)[:, 0]
         w_right = 1.0 - w_left
 
         logp_l = jax.nn.log_softmax(logits[:, :-1], axis=1)
         logp_r = jax.nn.log_softmax(logits[:, 1:], axis=1)
-        nll_l = -jnp.take_along_axis(logp_l, gt_index[:, None], axis=1)[:, 0]
-        nll_r = -jnp.take_along_axis(logp_r, gt_index[:, None], axis=1)[:, 0]
+        nll_l = -regression.select_bin(logp_l, gt_index)
+        nll_r = -regression.select_bin(logp_r, gt_index)
         denom = final_mask.sum() + 1e-6
         loss = ((nll_l * w_left * final_mask).sum() + (nll_r * w_right * final_mask).sum()) / denom
         loss_dict[key] = dlossw[i] * loss

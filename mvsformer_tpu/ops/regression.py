@@ -25,6 +25,25 @@ def depth_regression(prob: Array, depth_values: Array) -> Array:
     return (prob * depth_values).sum(axis=1)
 
 
+def select_bin(vol: Array, idx: Array) -> Array:
+    """Per-pixel depth-bin selection WITHOUT a gather.
+
+    vol [B, D, H, W] (or a [B, D] per-batch table), idx [B, H, W] int ->
+    [B, H, W]. Computed as a one-hot multiply-reduce over the small depth
+    axis: XLA fuses the iota comparison into the producer chain (one pass
+    over the volume, no gather op; the backward is a broadcast-multiply
+    instead of a scatter). TPU gathers are element-rate-bound (~160M
+    taps/s, docs/DESIGN.md) — the round-5 train trace showed ~5 ms/step in
+    the CE-loss take_along_axis alone. Exact for any idx in [0, D).
+    """
+    ndepth = vol.shape[1]
+    if vol.ndim == 2:
+        vol = vol[:, :, None, None]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, ndepth, 1, 1), 1)
+    onehot = (iota == idx[:, None]).astype(vol.dtype)
+    return (vol * onehot).sum(axis=1)
+
+
 def conf_regression(prob: Array, n: int = 4) -> Array:
     """Summed probability in an n-bin window centred at the regressed index.
 
@@ -45,16 +64,13 @@ def conf_regression(prob: Array, n: int = 4) -> Array:
     win = csum[:, n:] - csum[:, :-n]  # [B, D, H, W]
     idx_f = depth_regression(prob, jnp.broadcast_to(jnp.arange(D, dtype=prob.dtype)[None], (B, D)))
     idx = jnp.clip(idx_f.astype(jnp.int32), 0, D - 1)
-    return jnp.take_along_axis(win, idx[:, None], axis=1)[:, 0]
+    return select_bin(win, idx)
 
 
 def argmax_depth(prob: Array, depth_values: Array) -> Array:
     """Vanilla argmax decode used in ce/was training (mvsformer_model.py:117-120)."""
     idx = jnp.argmax(prob, axis=1)
-    if depth_values.ndim == 2:
-        B, D = depth_values.shape
-        return jnp.take_along_axis(depth_values, idx.reshape(B, -1), axis=1).reshape(idx.shape)
-    return jnp.take_along_axis(depth_values, idx[:, None], axis=1)[:, 0]
+    return select_bin(depth_values, idx)
 
 
 def temperature_regression(logits: Array, depth_values: Array, tmp: float) -> Array:
@@ -78,7 +94,7 @@ def mixup_depth(prob: Array, depth_values: Array):
     if depth_values.ndim == 2:
         depth_values = depth_values[:, :, None, None]
     mix_depth = depth_values[:, :-1] * wl + depth_values[:, 1:] * wr
-    depth = jnp.take_along_axis(mix_depth, idx[:, None], axis=1)[:, 0]
+    depth = select_bin(mix_depth, idx)
     return depth, conf
 
 

@@ -143,3 +143,79 @@ def test_costregnet_packed_matches_flax(C, D, last):
                        dtype=jnp.float32).apply({"params": p["prob"]}, up)
     np.testing.assert_allclose(np.asarray(y_packed), np.asarray(up),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("cls,C,D", [
+    (CostRegNet3D, 8, 8),
+    (CostRegNet, 16, 8),
+])
+def test_packed_train_matches_flax(cls, C, D):
+    """packed_train=True must reproduce the flax TRAIN path exactly: output,
+    updated running stats, and parameter gradients (real BatchNorm semantics
+    computed in packed [B,H,W,D*C] space)."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(
+        rng.standard_normal((2, D, 8, 16, C)).astype(np.float32))
+    m_flax = cls(8, norm="BN", dtype=jnp.float32, packed_train=False)
+    m_pack = cls(8, norm="BN", dtype=jnp.float32, packed_train=True)
+    v = _randomize(rng, m_flax.init(jax.random.PRNGKey(0), x, True))
+
+    y_ref, mut_ref = m_flax.apply(v, x, True, mutable=["batch_stats"])
+    y_pk, mut_pk = m_pack.apply(v, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(y_pk), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        mut_pk["batch_stats"], mut_ref["batch_stats"])
+
+    def loss(mod, params):
+        y, _ = mod.apply({"params": params,
+                          "batch_stats": v["batch_stats"]}, x, True,
+                         mutable=["batch_stats"])
+        return jnp.sum(jnp.square(y))
+
+    g_ref = jax.grad(lambda p_: loss(m_flax, p_))(v["params"])
+    g_pk = jax.grad(lambda p_: loss(m_pack, p_))(v["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-3),
+        g_pk, g_ref)
+
+
+def test_packed_train_bn_sync_matches_flax():
+    """With axis_name set, the packed-train BN must pmean its moments the
+    way flax SyncBN does: per-shard packed output == flax output under an
+    8-device shard_map over the batch."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs a multi-device mesh")
+    n = min(4, len(jax.devices()))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(
+        rng.standard_normal((n, 8, 8, 16, 8)).astype(np.float32))
+    m_flax = CostRegNet3D(8, norm="BN", dtype=jnp.float32,
+                          axis_name="data", packed_train=False)
+    m_pack = CostRegNet3D(8, norm="BN", dtype=jnp.float32,
+                          axis_name="data", packed_train=True)
+    v = _randomize(rng, CostRegNet3D(8, norm="BN", dtype=jnp.float32).init(
+        jax.random.PRNGKey(0), x, True))
+    mesh = Mesh(np.array(jax.devices()[:n]), ("data",))
+
+    def run(mod):
+        def step(xs):
+            y, mut = mod.apply(v, xs, True, mutable=["batch_stats"])
+            return y, mut["batch_stats"]
+        return jax.jit(jax.shard_map(
+            step, mesh=mesh, in_specs=P("data"),
+            out_specs=(P("data"), P())))(x)
+
+    y_ref, bs_ref = run(m_flax)
+    y_pk, bs_pk = run(m_pack)
+    np.testing.assert_allclose(np.asarray(y_pk), np.asarray(y_ref),
+                               rtol=2e-4, atol=2e-4)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+        bs_pk, bs_ref)

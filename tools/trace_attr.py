@@ -62,10 +62,15 @@ def main():
 
     # device lanes: process names containing "TPU" (not the python host lanes)
     dev_pids = set()
+    step_lanes = set()  # (pid, tid) of "Steps" marker threads — step-number
+    # events there span whole steps and would double-count every real op
     for ev in data.get("traceEvents", []):
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             if "TPU" in ev.get("args", {}).get("name", ""):
                 dev_pids.add(ev["pid"])
+        if (ev.get("ph") == "M" and ev.get("name") == "thread_name"
+                and ev.get("args", {}).get("name") == "Steps"):
+            step_lanes.add((ev["pid"], ev.get("tid")))
 
     by_bucket = collections.Counter()
     by_name = collections.Counter()
@@ -74,6 +79,8 @@ def main():
     tmin, tmax = float("inf"), 0.0
     for ev in data.get("traceEvents", []):
         if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
+            continue
+        if (ev.get("pid"), ev.get("tid")) in step_lanes:
             continue
         name = ev.get("name", "?")
         if name.startswith("jit_") or name.startswith("jit("):
