@@ -241,6 +241,22 @@ def worker(args):
         acc = jnp.stack([jnp.sum(o[0][::64, ::64]) for o in outs]).sum()
         float(acc)  # host fence covering every dispatched frame
         dt_pipe = (time.perf_counter() - t0) / n_pipe
+    else:
+        # Pipelined train throughput: dispatch every step before reading any
+        # loss back. The production trainer only fetches metrics at logging
+        # boundaries (train/trainer.py logging_every), so the per-step
+        # float(loss) above pays a tunnel RTT the real loop doesn't —
+        # the steps themselves are already chained on-device through the
+        # params/opt_state carry.
+        n_pipe = max(iters, 8)
+        acc = None
+        t0 = time.perf_counter()
+        for i in range(n_pipe):
+            params, bs, opt_state, loss = train_step(
+                params, bs, opt_state, warmup + iters + i)
+            acc = loss if acc is None else acc + loss
+        float(acc)  # one host fence covering every dispatched step
+        dt_pipe = (time.perf_counter() - t0) / n_pipe
     if args.profile:
         jax.profiler.stop_trace()
 

@@ -53,6 +53,10 @@ def main():
     ap.add_argument("root")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--scope", action="store_true")
+    ap.add_argument("--hlo", default=None,
+                    help="optimized-HLO text (tools/dump_hlo.py output): "
+                         "top ops get their HLO def line (shape/layout, "
+                         "operands, op_name metadata) printed alongside")
     args = ap.parse_args()
 
     path = newest_trace(args.root)
@@ -113,6 +117,30 @@ def main():
         print("\n== scopes ==")
         for k, v in by_scope.most_common(args.top):
             print(f"{v:10.1f} ms  {100*v/total:5.1f}%  {k[:110]}")
+
+    if args.hlo:
+        # Pin trace op names to HLO instructions: shapes/layouts name the
+        # seam a copy serves; op_name metadata names the model role.
+        defs = {}
+        pat = re.compile(r"^\s+(?:ROOT )?%?([\w.-]+) = (.*)$")
+        with open(args.hlo) as f:
+            for line in f:
+                m = pat.match(line)
+                if m:
+                    defs[m.group(1)] = m.group(2).rstrip()
+        print("\n== top ops: HLO defs ==")
+        for k, v in by_name.most_common(args.top):
+            d = defs.get(k)
+            if d is None:
+                continue
+            meta = ""
+            mm = re.search(r'op_name="([^"]*)"', d)
+            if mm:
+                meta = "  # " + "/".join(
+                    p for p in mm.group(1).split("/")
+                    if not p.startswith("jit"))[:90]
+            body = d.split(", metadata=")[0]
+            print(f"{v:10.1f} ms  {k}\n    {body[:170]}{meta}")
 
 
 if __name__ == "__main__":
