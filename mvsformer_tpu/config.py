@@ -146,6 +146,17 @@ class ModelConfig:
     smallconv_s1cap: int = 144  # taps*features cap for stride-1 routing
     # (beyond it the materialized taps*C z-traffic exceeds the layout win).
     # Env: MVSTPU_SMALLCONV_S1CAP.
+    fused_gsa: bool = False  # Twins global-subsampled attention as ONE
+    # Pallas pass (ops/pallas/gsa_attention.py): the fp32 [B,nh,N,Nk] logit
+    # matrix (477 MB at the DTU stage-0 block, crossed ~3x) and the
+    # head-split transposes never exist in HBM. Deterministic passes only
+    # (no VJP; under cfg.fix the backbone is stop_gradient'ed so
+    # frozen-backbone training routes too). v5e 2026-08-20: parity-exact but
+    # LOSES the frame (6.15 -> 5.56 dm/s pipelined, serial neutral) — the
+    # in-model Pallas DMA wall (docs/DESIGN.md round-3/4) prices 9 extra
+    # small kernel launches above the 1.4 GB traffic they remove, and the
+    # calls do not overlap across pipelined frames. Default OFF; kept for
+    # future toolchains. Env: MVSTPU_GSA.
     packed_train_costreg: bool = True  # run the TRAIN-mode cost-reg U-Nets
     # depth-packed too (models/costreg.py _packed with real BatchNorm stats
     # computed in packed [B,H,W,D*C] space): the round-5 train trace's top

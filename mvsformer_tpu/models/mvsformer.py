@@ -107,7 +107,8 @@ class TwinMVSNet(nn.Module):
         kwargs = {}
         if cfg.vit_args.drop_path_rate is not None:
             kwargs["drop_path_rate"] = cfg.vit_args.drop_path_rate
-        self.vit = builder(dtype=self.dtype, **kwargs)
+        self.vit = builder(dtype=self.dtype,
+                           fused_attn=cfg.fused_gsa and fused_ok(), **kwargs)
         self.fusions = [
             StageNet(
                 ndepth=cfg.ndepths[i], stage_idx=i, base_ch=cfg.base_ch,
@@ -269,6 +270,9 @@ def build_model(cfg: ModelConfig, dtype=jnp.bfloat16, axis_name=None,
     env = os.environ.get("MVSTPU_PACKED_TRAIN")
     if env is not None:
         cfg.packed_train_costreg = env == "1"
+    env = os.environ.get("MVSTPU_GSA")
+    if env is not None:
+        cfg.fused_gsa = env == "1"
     if cfg.model_type == "twin":
         return TwinMVSNet(cfg, dtype=dtype, axis_name=axis_name,
                           view_axis=view_axis, depth_sharding=depth_sharding)

@@ -15,6 +15,7 @@ bernoulli draw per (sample, block) — same semantics as timm DropPath.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Sequence
 
 import jax
@@ -101,16 +102,19 @@ class GlobalSubsampledAttention(nn.Module):
     num_heads: int
     sr_ratio: int = 1
     dtype: Dtype = jnp.bfloat16
+    fused: bool = False  # ModelConfig.fused_gsa: one-Pallas-pass attention
+    # (ops/pallas/gsa_attention.py) — the fp32 [B,nh,N,Nk] logit matrix and
+    # the head-split transposes never exist in HBM. Eval path (the caller
+    # gates on deterministic).
 
     @nn.compact
-    def __call__(self, x):  # x: [B, H, W, C]
+    def __call__(self, x, fused_ok: bool = False):  # x: [B, H, W, C]
         B, H, W, C = x.shape
         nh = self.num_heads
         hd = C // nh
         scale = hd ** -0.5
 
         q = nn.Dense(C, use_bias=True, dtype=self.dtype, name="q")(x)
-        q = q.reshape(B, H * W, nh, hd)
 
         kv_in = x
         if self.sr_ratio > 1:
@@ -121,6 +125,17 @@ class GlobalSubsampledAttention(nn.Module):
             kv_in = nn.LayerNorm(dtype=self.dtype, name="norm")(kv_in)
         Nk = kv_in.shape[1] * kv_in.shape[2]
         kv = nn.Dense(C * 2, use_bias=True, dtype=self.dtype, name="kv")(kv_in)
+
+        if self.fused and fused_ok:
+            from mvsformer_tpu.ops.pallas.gsa_attention import gsa_attention
+
+            kv2 = kv.reshape(B, Nk, 2 * C)
+            out = gsa_attention(q.reshape(B, H * W, C),
+                                kv2[..., :C], kv2[..., C:], nh)
+            out = out.reshape(B, H, W, C)
+            return nn.Dense(C, dtype=self.dtype, name="proj")(out)
+
+        q = q.reshape(B, H * W, nh, hd)
         kv = kv.reshape(B, Nk, 2, nh, hd)
         k, v = kv[:, :, 0], kv[:, :, 1]
 
@@ -154,12 +169,17 @@ class TwinsBlock(nn.Module):
     sr_ratio: int
     drop_path_rate: float
     dtype: Dtype = jnp.bfloat16
+    fused_attn: bool = False  # route GSA through the Pallas kernel
+    # (deterministic passes only — the kernel has no VJP; under cfg.fix the
+    # backbone is stop_gradient'ed so frozen-backbone training also routes)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         if self.ws == 1:
             attn = GlobalSubsampledAttention(
-                self.dim, self.num_heads, self.sr_ratio, dtype=self.dtype, name="attn")
+                self.dim, self.num_heads, self.sr_ratio, dtype=self.dtype,
+                fused=self.fused_attn, name="attn")
+            attn = functools.partial(attn, fused_ok=deterministic)
         else:
             attn = GroupAttention(self.dim, self.num_heads, self.ws, dtype=self.dtype, name="attn")
 
@@ -199,6 +219,7 @@ class ALTGVT(nn.Module):
     patch_size: int = 4
     drop_path_rate: float = 0.2
     dtype: Dtype = jnp.bfloat16
+    fused_attn: bool = False  # ModelConfig.fused_gsa (Pallas GSA kernel)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -221,6 +242,7 @@ class ALTGVT(nn.Module):
                     sr_ratio=self.sr_ratios[i],
                     drop_path_rate=dpr[cur + j],
                     dtype=self.dtype,
+                    fused_attn=self.fused_attn,
                     name=f"block{i}_{j}",
                 )(x, deterministic)
                 if j == 0:
@@ -232,16 +254,22 @@ class ALTGVT(nn.Module):
         return outputs
 
 
-def alt_gvt_small(dtype=jnp.bfloat16, drop_path_rate=0.2) -> ALTGVT:
+def alt_gvt_small(dtype=jnp.bfloat16, drop_path_rate=0.2,
+                  fused_attn=False) -> ALTGVT:
     return ALTGVT(embed_dims=(64, 128, 256, 512), num_heads=(2, 4, 8, 16),
-                  depths=(2, 2, 10, 4), drop_path_rate=drop_path_rate, dtype=dtype)
+                  depths=(2, 2, 10, 4), drop_path_rate=drop_path_rate,
+                  dtype=dtype, fused_attn=fused_attn)
 
 
-def alt_gvt_base(dtype=jnp.bfloat16, drop_path_rate=0.2) -> ALTGVT:
+def alt_gvt_base(dtype=jnp.bfloat16, drop_path_rate=0.2,
+                 fused_attn=False) -> ALTGVT:
     return ALTGVT(embed_dims=(96, 192, 384, 768), num_heads=(3, 6, 12, 24),
-                  depths=(2, 2, 18, 2), drop_path_rate=drop_path_rate, dtype=dtype)
+                  depths=(2, 2, 18, 2), drop_path_rate=drop_path_rate,
+                  dtype=dtype, fused_attn=fused_attn)
 
 
-def alt_gvt_large(dtype=jnp.bfloat16, drop_path_rate=0.3) -> ALTGVT:
+def alt_gvt_large(dtype=jnp.bfloat16, drop_path_rate=0.3,
+                  fused_attn=False) -> ALTGVT:
     return ALTGVT(embed_dims=(128, 256, 512, 1024), num_heads=(4, 8, 16, 32),
-                  depths=(2, 2, 18, 2), drop_path_rate=drop_path_rate, dtype=dtype)
+                  depths=(2, 2, 18, 2), drop_path_rate=drop_path_rate,
+                  dtype=dtype, fused_attn=fused_attn)
