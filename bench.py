@@ -232,15 +232,24 @@ def worker(args):
     # the end fences ALL frames (per-iter block_until_ready measures latency,
     # which the serial numbers above keep recording).
     dt_pipe = None
+    pipe_error = None
     if not args.train:
-        n_pipe = max(iters, 8)
-        outs = []
-        t0 = time.perf_counter()
-        for _ in range(n_pipe):
-            outs.append(forward(*fwd_args))
-        acc = jnp.stack([jnp.sum(o[0][::64, ::64]) for o in outs]).sum()
-        float(acc)  # host fence covering every dispatched frame
-        dt_pipe = (time.perf_counter() - t0) / n_pipe
+        # 8 frames in flight hold 8 live output sets + runtime queues; memory-
+        # heavy legacy variants (v1) can RESOURCE_EXHAUST here even though the
+        # serial loop fits. Record the serial number with the reason instead
+        # of failing the whole bench.
+        try:
+            n_pipe = max(iters, 8)
+            outs = []
+            t0 = time.perf_counter()
+            for _ in range(n_pipe):
+                outs.append(forward(*fwd_args))
+            acc = jnp.stack([jnp.sum(o[0][::64, ::64]) for o in outs]).sum()
+            float(acc)  # host fence covering every dispatched frame
+            dt_pipe = (time.perf_counter() - t0) / n_pipe
+        except Exception as e:  # noqa: BLE001
+            pipe_error = f"{type(e).__name__}: {str(e)[:160]}"
+            dt_pipe = None
     else:
         # Pipelined train throughput: dispatch every step before reading any
         # loss back. The production trainer only fetches metrics at logging
@@ -279,6 +288,8 @@ def worker(args):
         rec["sec_per_iter_pipelined"] = round(dt_pipe, 4)
         rec["latency_dmps"] = round(B / dt, 4)
         rec["pipelined"] = dt_pipe < dt
+    if pipe_error is not None:
+        rec["pipelined_error"] = pipe_error
     # Kernel-routing provenance: the effective knob values behind this number,
     # so any record is reproducible without guessing session env state.
     try:
@@ -305,6 +316,7 @@ def worker(args):
         "fused_native_bwd": cfg.fused_native_bwd if args.train else None,
         "packed_train_costreg": (cfg.packed_train_costreg
                                  if args.train else None),
+        "fused_gsa": cfg.fused_gsa,
         "remat_backbone": cfg.remat_backbone,
         "eval_view_chunk": cfg.eval_view_chunk,
     }
@@ -796,8 +808,14 @@ def orchestrate(args):
               timeout=args.timeout, corr_bf16=True)
         sweep("eval_v4_corrbf16", "eval v4+corr_bf16", variant="v4",
               timeout=args.timeout, corr_bf16=True)
+        # Production train default: variant 4 maps its training warp to v3
+        # (models/stagenet.py — measured faster); this row IS the default.
         sweep("train_v4_kbwd", "train v4+kbwd", variant="v4",
               timeout=args.timeout, train=True)
+        # True-v4 training warp, kept re-measurable for future toolchains.
+        sweep("train_v4_true", "train v4 (true v4 warp)", variant="v4",
+              timeout=args.timeout, train=True,
+              extra_env={"MVSTPU_TRAIN_WARP_VARIANT": "4"})
         sweep("train_v4_unpacked", "train v4 (flax cost-reg)", variant="v4",
               timeout=args.timeout, train=True,
               extra_env={"MVSTPU_PACKED_TRAIN": "0"})

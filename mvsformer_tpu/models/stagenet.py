@@ -262,14 +262,26 @@ class StageNet(nn.Module):
                         and invalid is not None):
                     corr = corr * (1.0 - invalid[..., None])
             elif fused_train:
+                import os
+
                 from mvsformer_tpu.ops.pallas.warp_corr_train import (
                     fused_warp_corr_train,
                 )
 
+                # Training maps v4 -> v3 by default: the backward is the v3
+                # band adjoint either way, and the v5e sweep (2026-08-20,
+                # BENCH_DETAILS train_v3_kbwd vs train_v4_kbwd) measured the
+                # v3 training warp at 8.19 pipelined steps/s vs v4's 6.91 —
+                # v4's in-kernel coordinate/entropy extras don't pay in the
+                # training forward. MVSTPU_TRAIN_WARP_VARIANT=4 forces true
+                # v4 for re-measurement on future toolchains.
+                tv = self.fused_variant
+                if tv == 4:
+                    tv = int(os.environ.get("MVSTPU_TRAIN_WARP_VARIANT", "3"))
                 corr = fused_warp_corr_train(
                     ref32, src_feats[:, v].astype(jnp.float32), src_proj_full,
                     ref_proj_full, dv32, G, self.fused_band_rows,
-                    self.fused_variant, self.fused_native_bwd)
+                    tv, self.fused_native_bwd)
                 invalid = None
                 if self.fusion_type == "epipoleV2":
                     _, _, invalid = geometry.plane_sweep_coords(
